@@ -1,0 +1,75 @@
+"""Assembly configuration.
+
+Reference counterpart: the argparse flags of the pycuda-euler driver (SURVEY.md
+section 2a R12 — reconstruction; the mount at /root/reference was empty). Here the
+config is a frozen dataclass so it can be closed over by jit'd stages: every field
+that shapes a traced array (k, capacities, batch sizes) is static by construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+def _ceil_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+@dataclasses.dataclass(frozen=True)
+class AssemblyConfig:
+    """Static configuration for one assembly run.
+
+    Attributes:
+      k: k-mer length (edge length). Must be odd so that no k-mer equals its own
+         reverse complement (standard canonical-k-mer trick).
+      min_count: k-mer frequency cutoff; k-mers with canonical multiplicity below
+         this are treated as sequencing errors and dropped (SPEC config 3).
+      read_batch: number of reads per device batch (static shape for jit).
+      read_len: padded read length (bases); shorter reads are padded with N.
+      spectrum_capacity: max number of distinct canonical k-mers held in the
+         accumulated spectrum (static). Overflow is detected and raised on host.
+      kmer_batch_capacity: max distinct canonical k-mers produced by a single
+         read batch.
+      bucket_bits: log2 of the number of ownership buckets used for the
+         distributed all-to-all spectrum exchange (SPEC D3/D4). Ownership is by
+         prefix of the *scrambled* key (hash-bucketed for balance, contiguous in
+         scrambled key space for prefix partitioning).
+      mesh_shape: device mesh shape for distributed runs; () means single device.
+    """
+
+    k: int = 31
+    min_count: int = 1
+    read_batch: int = 4096
+    read_len: int = 100
+    spectrum_capacity: int = 1 << 20
+    kmer_batch_capacity: int = 0  # 0 -> derived from read_batch * windows
+    bucket_bits: int = 6
+    mesh_shape: tuple = ()
+    scramble: bool = True  # hash-scramble keys before prefix bucketing
+
+    def __post_init__(self):
+        if self.k < 3 or self.k % 2 == 0:
+            raise ValueError(f"k must be odd and >= 3, got {self.k}")
+        if self.read_len < self.k:
+            raise ValueError("read_len must be >= k")
+        if self.kmer_batch_capacity == 0:
+            object.__setattr__(
+                self,
+                "kmer_batch_capacity",
+                _ceil_pow2(self.read_batch * self.windows_per_read),
+            )
+
+    @property
+    def windows_per_read(self) -> int:
+        return self.read_len - self.k + 1
+
+    @property
+    def nlimbs(self) -> int:
+        """uint32 limbs per k-mer key: ceil(k/16) (2 bits per base)."""
+        return math.ceil(self.k / 16)
+
+    @property
+    def edge_capacity(self) -> int:
+        """Capacity of the doubled (both-strand) edge array: 2 per canonical k-mer."""
+        return 2 * self.spectrum_capacity

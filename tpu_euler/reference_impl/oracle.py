@@ -1,0 +1,125 @@
+"""Pure-CPU oracle assembler: the correctness ground truth.
+
+SURVEY.md section 2b: the reference binary is unavailable (empty mount), so the
+practical oracle for the SPEC's "exact contig sequence-set equality after
+canonicalization" bar is this CPU implementation. The TPU pipeline must produce
+the identical canonical contig set.
+
+Semantics (shared, exactly, with the TPU implementation):
+
+1. Extract all k-mers from reads (windows containing N are dropped); count by
+   canonical form min(kmer, revcomp); drop canonical count < min_count.
+2. Build the *doubled* directed de Bruijn graph: for each surviving canonical
+   k-mer insert both orientations as edges (k odd => always 2 distinct edges).
+   Nodes are (k-1)-mers; edge w goes w[:-1] -> w[1:].
+3. Contigs are unitigs: maximal chains through "simple" nodes (in-degree ==
+   out-degree == 1, counting distinct edges). Edge e2 follows e1 iff
+   head(e1) == tail(e2) is simple.
+4. Chains with no start edge are cycles. A cycle is cut at the transition
+   (e -> succ(e)) whose (k+1)-mer spelling has the smallest canonical form; the
+   edge after the cut becomes the start. (Strand-symmetric: guarantees the
+   forward and reverse-strand cycle contigs are exact reverse complements.)
+5. A chain e_0..e_{m-1} spells tail(e_0) + last base of each e_i: length
+   (k-1) + m.
+6. Output = the set of canonical contigs min(s, revcomp(s)), deduplicated.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+_COMP = str.maketrans("ACGT", "TGCA")
+
+
+def rc(s: str) -> str:
+    return s.translate(_COMP)[::-1]
+
+
+def canon(s: str) -> str:
+    r = rc(s)
+    return s if s <= r else r
+
+
+def count_canonical_kmers(reads: list[str], k: int) -> Counter:
+    counts: Counter = Counter()
+    for read in reads:
+        for i in range(len(read) - k + 1):
+            w = read[i : i + k]
+            if "N" in w or len(w) < k:
+                continue
+            counts[canon(w)] += 1
+    return counts
+
+
+def assemble_oracle(reads: list[str], k: int, min_count: int = 1) -> set[str]:
+    """Assemble reads into the canonical contig set. See module docstring."""
+    if k % 2 == 0 or k < 3:
+        raise ValueError("k must be odd and >= 3")
+    counts = count_canonical_kmers(reads, k)
+    edges = set()
+    for km, c in counts.items():
+        if c >= min_count:
+            edges.add(km)
+            edges.add(rc(km))
+
+    return contigs_from_edges(edges, k)
+
+
+def contigs_from_edges(edges: set[str], k: int) -> set[str]:
+    """Unitig extraction on an explicit doubled edge set (distinct k-mers)."""
+    out_edges: dict[str, list[str]] = defaultdict(list)
+    in_deg: Counter = Counter()
+    out_deg: Counter = Counter()
+    for e in edges:
+        out_edges[e[:-1]].append(e)
+        out_deg[e[:-1]] += 1
+        in_deg[e[1:]] += 1
+
+    def simple(node: str) -> bool:
+        return in_deg[node] == 1 and out_deg[node] == 1
+
+    def succ(e: str):
+        h = e[1:]
+        if simple(h):
+            return out_edges[h][0]
+        return None
+
+    # Start edges: predecessor link absent (tail node not simple).
+    starts = [e for e in edges if not simple(e[:-1])]
+    contigs: set[str] = set()
+    used: set[str] = set()
+
+    def emit(chain: list[str]):
+        s = chain[0][:-1] + "".join(e[-1] for e in chain)
+        contigs.add(canon(s))
+
+    for s0 in starts:
+        chain = [s0]
+        used.add(s0)
+        e = succ(s0)
+        while e is not None and e not in used:
+            chain.append(e)
+            used.add(e)
+            e = succ(e)
+        emit(chain)
+
+    # Remaining edges form pure cycles (every node simple).
+    remaining = sorted(edges - used)
+    for e0 in remaining:
+        if e0 in used:
+            continue
+        cycle = [e0]
+        used.add(e0)
+        e = succ(e0)
+        while e != e0:
+            cycle.append(e)
+            used.add(e)
+            e = succ(e)
+        # Cut at the transition with minimal canonical (k+1)-mer; start after it.
+        m = len(cycle)
+        trans = [canon(cycle[i] + cycle[(i + 1) % m][-1]) for i in range(m)]
+        cut = min(range(m), key=lambda i: trans[i])
+        start = (cut + 1) % m
+        emit([cycle[(start + j) % m] for j in range(m)])
+
+    return contigs
