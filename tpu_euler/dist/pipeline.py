@@ -1,0 +1,123 @@
+"""Distributed assembly pipeline: data-parallel reads -> sharded spectrum ->
+replicated graph/traversal (SPEC D1-D6; SURVEY.md section 7 step 8).
+
+Round-1 scope: the k-mer spectrum (the memory- and FLOP-dominant stage) is fully
+sharded via hash-bucket all_to_all; the surviving distinct k-mers (orders of
+magnitude smaller after cutoff) are sort-merged into a replicated spectrum for
+graph build + traversal. Fully sharded traversal (prefix-partitioned pointer
+jumping with psum convergence) is the documented next step (SCALING.md).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_euler.config import AssemblyConfig
+from tpu_euler.dist.count_dist import (
+    DistSpectrum,
+    empty_dist_spectrum,
+    make_dist_count_step,
+    make_gather_spectrum,
+)
+from tpu_euler.dist.mesh import batch_sharding, make_mesh
+from tpu_euler.euler.extract import chains_to_contigs
+from tpu_euler.io.encode import encode_reads
+from tpu_euler.pipeline.assemble import AssemblyResult, make_graph_step
+
+log = logging.getLogger("tpu_euler")
+
+
+def assemble_reads_distributed(
+    reads: list[str],
+    cfg: AssemblyConfig,
+    n_devices: int | None = None,
+    dest_capacity_factor: float = 2.0,
+) -> AssemblyResult:
+    """Data-parallel assembly over a 1-D device mesh."""
+    mesh = make_mesh(n_devices)
+    n_dev = mesh.devices.size
+    t = {"encode": 0.0, "count": 0.0, "gather": 0.0, "graph": 0.0, "extract": 0.0}
+
+    # per-device read rows and per-destination slab capacity
+    rows = cfg.read_batch  # reads per device per step
+    windows = rows * cfg.windows_per_read
+    c_dest = int(dest_capacity_factor * windows / n_dev + 256)
+    c_local = cfg.spectrum_capacity // n_dev
+
+    count_step = make_dist_count_step(cfg.k, n_dev, c_dest, mesh)
+    gather_step = make_gather_spectrum(min(cfg.spectrum_capacity, n_dev * c_local), mesh)
+    graph_step = make_graph_step(cfg.k, cfg.min_count)
+    sharding = batch_sharding(mesh)
+
+    acc = empty_dist_spectrum(n_dev, c_local, cfg.nlimbs)
+    acc = jax.device_put(
+        acc,
+        DistSpectrum(limbs=sharding, counts=sharding, n=sharding, dropped=sharding),
+    )
+    n_reads = 0
+    n_windows = 0
+    step_rows = rows * n_dev
+    for i in range(0, max(len(reads), 1), step_rows):
+        batch = reads[i : i + step_rows]
+        if not batch and n_reads:
+            break
+        n_reads += len(batch)
+        t0 = time.perf_counter()
+        codes = encode_reads(batch, cfg.read_len)
+        if codes.shape[0] < step_rows:
+            pad = np.full((step_rows - codes.shape[0], cfg.read_len), 4, np.int8)
+            codes = np.concatenate([codes, pad], axis=0)
+        codes = jax.device_put(codes, sharding)
+        t1 = time.perf_counter()
+        acc, nw = count_step(codes, acc)
+        n_windows += int(np.asarray(jax.device_get(nw))[0])
+        t["encode"] += t1 - t0
+        t["count"] += time.perf_counter() - t1
+
+    jax.block_until_ready(acc)
+    dropped = int(np.asarray(jax.device_get(acc.dropped)).sum())
+    if dropped:
+        raise RuntimeError(
+            f"{dropped} k-mers dropped in all_to_all exchange: raise "
+            f"dest_capacity_factor (hash imbalance) or lower read_batch"
+        )
+    per_shard = np.asarray(jax.device_get(acc.n))
+    if int(per_shard.max()) >= c_local:
+        raise RuntimeError(
+            f"a spectrum shard overflowed its capacity {c_local}: raise "
+            f"AssemblyConfig.spectrum_capacity"
+        )
+
+    t2 = time.perf_counter()
+    spec = gather_step(acc)
+    jax.block_until_ready(spec)
+    t["gather"] = time.perf_counter() - t2
+
+    t3 = time.perf_counter()
+    g, chains, cut = graph_step(spec)
+    jax.block_until_ready(chains)
+    t["graph"] = time.perf_counter() - t3
+
+    t4 = time.perf_counter()
+    contigs = chains_to_contigs(g, chains, cfg.k)
+    t["extract"] = time.perf_counter() - t4
+
+    log.info(
+        "dist-assembled %d reads on %d devices -> %d distinct kmers -> %d contigs",
+        n_reads,
+        n_dev,
+        int(cut.n),
+        len(contigs),
+    )
+    return AssemblyResult(
+        contigs=contigs,
+        n_distinct_kmers=int(cut.n),
+        n_kmers_counted=n_windows,
+        n_reads=n_reads,
+        stage_seconds=t,
+    )

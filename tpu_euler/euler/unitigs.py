@@ -1,0 +1,157 @@
+"""Unitig (contig chain) computation by pointer jumping and list ranking.
+
+This is the TPU-native recasting of the reference's traversal kernels
+(SURVEY.md R7-R10: per-vertex successor assignment, circuit identification,
+circuit merging, tour walk) demanded by BASELINE.json's north star: "Eulerian
+tour/contig traversal recast as iterative pointer-jumping and list-ranking over
+dense int32 arrays to stay XLA-friendly".
+
+Pipeline (all static shapes, O(log E) doubling sweeps, no data-dependent Python
+control flow):
+
+1. successor assignment: succ[e] = the unique out-edge of head(e) when head(e)
+   is simple (in-degree == out-degree == 1), else -1. Chains of succ links are
+   exactly the unitigs.
+2. cycle detection: pointer doubling; edges whose pointer never reaches -1 lie
+   on pure cycles.
+3. cycle cutting: each cycle is cut at every transition whose canonical
+   (k+1)-mer achieves the cycle minimum (computed by min-propagating pointer
+   doubling over multi-limb keys). Strand-symmetric and deterministic — the
+   forward and reverse-complement copies of a cycle cut at mirror positions, so
+   their contigs are exact reverse complements (matches the CPU oracle rule).
+4. Wyllie list ranking over the cut successor array: distance-to-end and
+   end-edge labels per edge; positions from chain start follow by one scatter.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_euler.graph.build import DeBruijnGraph
+from tpu_euler.kmer import keys
+
+
+class UnitigChains(NamedTuple):
+    """Per-edge chain assignment. Edges with ``in_chain`` False are padding."""
+
+    chain: jax.Array  # [E] int32 — chain id (the id of the chain's END edge)
+    pos: jax.Array  # [E] int32 — 0-based position of edge within its chain
+    length: jax.Array  # [E] int32 — total chain length (edges), per edge
+    is_start: jax.Array  # [E] bool — pos == 0
+    from_cycle: jax.Array  # [E] bool — chain was cut from a pure cycle
+    in_chain: jax.Array  # [E] bool — edge is valid / participates
+
+
+def _safe_gather(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """arr[idx] with idx == -1 propagating -1 (for pointer arrays)."""
+    out = arr[jnp.clip(idx, 0, arr.shape[0] - 1)]
+    return jnp.where(idx < 0, -1, out)
+
+
+def _log2_ceil(n: int) -> int:
+    return max(1, (n - 1).bit_length())
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def successor(g: DeBruijnGraph, k: int) -> jax.Array:
+    """succ[e]: unique following edge through a simple head node, else -1."""
+    E = g.edge_limbs.shape[0]
+    h = jnp.clip(g.head, 0, 2 * E - 1)
+    simple = (g.indeg[h] == 1) & (g.outdeg[h] == 1)
+    nxt = g.out_first[h]
+    ok = g.edge_valid & simple & (nxt < E)
+    return jnp.where(ok, nxt, -1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cut_cycles(g: DeBruijnGraph, succ: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Break pure cycles deterministically. Returns (succ_cut, on_cycle)."""
+    E = succ.shape[0]
+    rounds = _log2_ceil(E) + 1
+
+    # --- detect cycle membership: does the chain from e ever reach -1? ---
+    def detect(_, p):
+        return _safe_gather(p, p)
+
+    p = jax.lax.fori_loop(0, rounds, detect, succ)
+    on_cycle = (p >= 0) & g.edge_valid
+
+    # --- transition key t[e] = canonical (k+1)-mer of edge e + first step ---
+    nb = keys.last_base(g.edge_limbs[jnp.clip(succ, 0, E - 1)])
+    t = keys.append_base(g.edge_limbs, nb, k)
+    t, _ = keys.canonical(t, k + 1)
+    # mask non-cycle transitions to all-ones so they never win the min
+    t = jnp.where(on_cycle[:, None], t, jnp.uint32(0xFFFFFFFF))
+
+    # --- min-propagate t around each cycle by pointer doubling ---
+    def min_round(_, state):
+        p, m = state
+        m_nxt = m[jnp.clip(p, 0, E - 1)]
+        m_nxt = jnp.where((p >= 0)[:, None], m_nxt, jnp.uint32(0xFFFFFFFF))
+        take = keys.key_less(m_nxt, m, k + 1)
+        m = jnp.where(take[:, None], m_nxt, m)
+        return _safe_gather(p, p), m
+
+    # run on the original succ pointers (cycles never hit -1, so every edge
+    # aggregates the min over its whole cycle after ceil(log2(len)) rounds)
+    _, m = jax.lax.fori_loop(0, rounds, min_round, (succ, t))
+
+    is_cut = on_cycle & keys.key_eq(t, m)
+    succ_cut = jnp.where(is_cut, -1, succ)
+    return succ_cut, on_cycle
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def unitig_chains(g: DeBruijnGraph, k: int) -> UnitigChains:
+    """Full chain computation; see module docstring."""
+    E = g.edge_limbs.shape[0]
+    rounds = _log2_ceil(E) + 1
+
+    succ0 = successor(g, k)
+    succ, on_cycle = cut_cycles(g, succ0, k)
+
+    # --- Wyllie list ranking: distance-to-end d and end-edge label ---
+    eid = jnp.arange(E, dtype=jnp.int32)
+    d0 = jnp.where(succ >= 0, 1, 0).astype(jnp.int32)
+    # q: pointer with terminal self-loop so q converges to the end edge
+    q0 = jnp.where(succ >= 0, succ, eid)
+
+    def rank_round(_, state):
+        nxt, d, q = state
+        d_add = jnp.where(nxt >= 0, d[jnp.clip(nxt, 0, E - 1)], 0)
+        d = d + d_add
+        nxt2 = _safe_gather(nxt, nxt)
+        q = q[q]
+        return nxt2, d, q
+
+    _, d, end_edge = jax.lax.fori_loop(0, rounds, rank_round, (succ, d0, q0))
+
+    # --- chain starts: edges no one points to (under the cut successor) ---
+    has_pred = (
+        jnp.zeros((E,), jnp.bool_)
+        .at[jnp.where(succ >= 0, succ, E)]
+        .set(True, mode="drop")
+    )
+    in_chain = g.edge_valid
+    is_start = in_chain & ~has_pred
+
+    # --- chain length broadcast: scatter d[start]+1 to the end edge slot ---
+    start_dest = jnp.where(is_start, end_edge, E)
+    len_at_end = (
+        jnp.zeros((E,), jnp.int32).at[start_dest].set(d + 1, mode="drop")
+    )
+    length = jnp.where(in_chain, len_at_end[jnp.clip(end_edge, 0, E - 1)], 0)
+    pos = jnp.where(in_chain, length - 1 - d, 0)
+
+    return UnitigChains(
+        chain=jnp.where(in_chain, end_edge, -1),
+        pos=pos,
+        length=length,
+        is_start=is_start,
+        from_cycle=on_cycle,
+        in_chain=in_chain,
+    )

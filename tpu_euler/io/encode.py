@@ -1,0 +1,46 @@
+"""Host-side base encoding: read strings -> dense padded code batches.
+
+Reference counterpart: SURVEY.md R2 (base encoder, A/C/G/T -> 2-bit codes). The
+TPU design keeps one int8 code per base on host and in HBM ([R, Lmax] batches,
+N/pad = 4); 2-bit packing happens on device during k-mer extraction where it
+fuses with windowing (tpu_euler/kmer/extract.py). Encoding is a numpy table
+lookup — vectorized, no Python loop over bases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BASE_N = 4
+
+_LUT = np.full(256, BASE_N, dtype=np.int8)
+for _i, _b in enumerate(b"ACGT"):
+    _LUT[_b] = _i
+for _i, _b in enumerate(b"acgt"):
+    _LUT[_b] = _i
+
+_BASES = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def encode_reads(reads: list[str] | list[bytes], read_len: int) -> np.ndarray:
+    """Encode reads into an [R, read_len] int8 code matrix.
+
+    Reads longer than ``read_len`` are truncated; shorter ones padded with N (=4).
+    Unknown characters (including N) encode to 4 and invalidate the k-windows
+    covering them.
+    """
+    R = len(reads)
+    out = np.full((R, read_len), BASE_N, dtype=np.int8)
+    for i, r in enumerate(reads):
+        if isinstance(r, str):
+            r = r.encode()
+        L = min(len(r), read_len)
+        out[i, :L] = _LUT[np.frombuffer(r[:L], dtype=np.uint8)]
+    return out
+
+
+def decode_read(codes: np.ndarray) -> str:
+    """Decode one int8 code row back to a string (pads stripped)."""
+    codes = np.asarray(codes)
+    s = bytes(_BASES[np.clip(codes, 0, 4)]).decode()
+    return s.rstrip("N")

@@ -1,0 +1,114 @@
+"""Sort-based k-mer counting and spectrum accumulation.
+
+The reference counted l-tuples with an atomics-contended GPU hash table
+(SURVEY.md R4/R5). The TPU-native design is sort-based, per BASELINE.json's
+north star ("hash/radix-sort kernel"): XLA variadic sort on uint32 limb keys,
+segment boundaries, and segment-sums — static shapes throughout, no atomics,
+deterministic results.
+
+A ``Spectrum`` is a capacity-padded, key-sorted array of distinct canonical
+k-mers with counts. Batches of reads stream through ``count_batch`` and fold
+into the running spectrum with ``merge_spectra`` (concat + sort + segment-sum),
+so total memory stays bounded by ``spectrum_capacity`` regardless of read count
+(SURVEY.md section 7 step 3; KMC/Gerbil-style out-of-core merging recast for HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_euler.kmer import keys
+
+
+class Spectrum(NamedTuple):
+    """Sorted distinct canonical k-mers with counts, padded to capacity."""
+
+    limbs: jax.Array  # [C, L] uint32, key-sorted among valid slots
+    counts: jax.Array  # [C] int32
+    n: jax.Array  # [] int32 number of valid slots
+
+
+def empty_spectrum(capacity: int, nlimbs: int) -> Spectrum:
+    return Spectrum(
+        limbs=jnp.zeros((capacity, nlimbs), jnp.uint32),
+        counts=jnp.zeros((capacity,), jnp.int32),
+        n=jnp.zeros((), jnp.int32),
+    )
+
+
+def _unique_counts(limbs, valid, weights):
+    """Shared core: sorted+deduped keys with summed weights.
+
+    Returns (unique_limbs, unique_counts, n_unique) with arrays sized like the
+    input; slots >= n_unique are garbage (mask with iota < n_unique).
+    """
+    M, L = limbs.shape
+    sl, sv, sw = keys.sort_by_key(limbs, valid, weights)
+    prev = jnp.roll(sl, 1, axis=0)
+    is_new = ~keys.key_eq(sl, prev)
+    is_new = is_new.at[0].set(True)
+    is_new = is_new & sv
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # unique index per row
+    n_unique = jnp.sum(is_new.astype(jnp.int32))
+    seg_clipped = jnp.where(sv, seg, M - 1)
+    counts = jax.ops.segment_sum(
+        jnp.where(sv, sw, 0), seg_clipped, num_segments=M
+    ).astype(jnp.int32)
+    # Scatter first-of-segment keys into compacted positions.
+    dest = jnp.where(is_new, seg, M)  # M = out-of-bounds -> dropped
+    uniq = jnp.zeros_like(sl).at[dest].set(sl, mode="drop")
+    return uniq, counts, n_unique
+
+
+@jax.jit
+def count_batch(limbs: jax.Array, valid: jax.Array) -> Spectrum:
+    """Count one batch of (canonical) k-mer keys. Output capacity = batch size."""
+    M = limbs.shape[0]
+    uniq, counts, n = _unique_counts(limbs, valid, jnp.ones((M,), jnp.int32))
+    return Spectrum(uniq, counts, n)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def merge_spectra(acc: Spectrum, batch: Spectrum) -> Spectrum:
+    """Fold a batch spectrum into the accumulator (same-key counts add).
+
+    Output capacity = accumulator capacity. Overflow (more distinct keys than
+    capacity) must be checked by the caller via ``.n``.
+    """
+    C = acc.limbs.shape[0]
+    limbs = jnp.concatenate([acc.limbs, batch.limbs], axis=0)
+    counts = jnp.concatenate([acc.counts, batch.counts], axis=0)
+    valid = jnp.concatenate(
+        [
+            jnp.arange(C, dtype=jnp.int32) < acc.n,
+            jnp.arange(batch.limbs.shape[0], dtype=jnp.int32) < batch.n,
+        ]
+    )
+    uniq, ucounts, n = _unique_counts(limbs, valid, counts)
+    return Spectrum(uniq[:C], ucounts[:C], jnp.minimum(n, C))
+
+
+@functools.partial(jax.jit, static_argnames=("min_count",))
+def apply_cutoff(spec: Spectrum, min_count: int) -> Spectrum:
+    """Drop k-mers with count < min_count and recompact (SURVEY.md R5).
+
+    Keeps key-sorted order. Capacity unchanged.
+    """
+    C = spec.limbs.shape[0]
+    iota = jnp.arange(C, dtype=jnp.int32)
+    valid = iota < spec.n
+    keep = valid & (spec.counts >= min_count)
+    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, dest, C)  # drop non-kept
+    limbs = jnp.zeros_like(spec.limbs).at[dest].set(spec.limbs, mode="drop")
+    counts = jnp.zeros_like(spec.counts).at[dest].set(spec.counts, mode="drop")
+    return Spectrum(limbs, counts, jnp.sum(keep.astype(jnp.int32)))
+
+
+def spectrum_overflowed(spec: Spectrum) -> bool:
+    """Host-side overflow check: distinct keys hit capacity (results untrustworthy)."""
+    return int(spec.n) >= spec.limbs.shape[0]

@@ -1,0 +1,141 @@
+"""End-to-end single-device assembly pipeline.
+
+Reference counterpart: SURVEY.md section 3a — the driver `main` call stack
+(read -> encode -> extract -> hash/count -> graph -> tour -> contigs). TPU-native
+shape: reads stream through a fixed-shape jit'd count step into a bounded
+spectrum; graph build + traversal are one fused jit; only the final per-edge
+chain assignment crosses back to host for string emission.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_euler.config import AssemblyConfig
+from tpu_euler.euler.extract import chains_to_contigs
+from tpu_euler.euler.unitigs import UnitigChains, unitig_chains
+from tpu_euler.graph.build import DeBruijnGraph, build_graph
+from tpu_euler.io.encode import encode_reads
+from tpu_euler.kmer import keys
+from tpu_euler.kmer.count import (
+    Spectrum,
+    apply_cutoff,
+    count_batch,
+    empty_spectrum,
+    merge_spectra,
+    spectrum_overflowed,
+)
+from tpu_euler.kmer.extract import extract_canonical_kmers
+
+log = logging.getLogger("tpu_euler")
+
+
+@dataclasses.dataclass
+class AssemblyResult:
+    contigs: set[bytes]
+    n_distinct_kmers: int
+    n_kmers_counted: int
+    n_reads: int
+    stage_seconds: dict[str, float]
+
+    @property
+    def contig_strings(self) -> set[str]:
+        return {c.decode() for c in self.contigs}
+
+
+def make_count_step(k: int):
+    """Fused per-batch device step: extract + canonicalize + count + merge."""
+
+    @jax.jit
+    def step(codes: jax.Array, acc: Spectrum) -> tuple[Spectrum, jax.Array]:
+        limbs, valid = extract_canonical_kmers(codes, k)
+        batch = count_batch(limbs, valid)
+        n_windows = jnp.sum(valid.astype(jnp.int32))
+        return merge_spectra(acc, batch), n_windows
+
+    return step
+
+
+def make_graph_step(k: int, min_count: int):
+    """Fused device step: cutoff -> graph -> chains."""
+
+    @jax.jit
+    def step(spec: Spectrum) -> tuple[DeBruijnGraph, UnitigChains, Spectrum]:
+        cut = apply_cutoff(spec, min_count)
+        g = build_graph(cut, k)
+        chains = unitig_chains(g, k)
+        return g, chains, cut
+
+    return step
+
+
+def assemble_reads(
+    reads: Iterable[str] | list[str], cfg: AssemblyConfig
+) -> AssemblyResult:
+    """Assemble an iterable of read strings into canonical contigs."""
+    t = {"encode": 0.0, "count": 0.0, "count_drain": 0.0, "graph": 0.0, "extract": 0.0}
+    count_step = make_count_step(cfg.k)
+    graph_step = make_graph_step(cfg.k, cfg.min_count)
+
+    acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
+    n_reads = 0
+    n_windows = jnp.zeros((), jnp.int32)
+    reads = list(reads) if not isinstance(reads, list) else reads
+
+    for i in range(0, max(len(reads), 1), cfg.read_batch):
+        batch = reads[i : i + cfg.read_batch]
+        if not batch and n_reads:
+            break
+        n_reads += len(batch)
+        t0 = time.perf_counter()
+        codes = jnp.asarray(encode_reads(batch, cfg.read_len))
+        if codes.shape[0] < cfg.read_batch:  # pad final batch to static shape
+            pad = jnp.full(
+                (cfg.read_batch - codes.shape[0], cfg.read_len), 4, jnp.int8
+            )
+            codes = jnp.concatenate([codes, pad], axis=0)
+        t1 = time.perf_counter()
+        acc, nw = count_step(codes, acc)
+        n_windows = n_windows + nw
+        t["encode"] += t1 - t0
+        t["count"] += time.perf_counter() - t1
+
+    t1 = time.perf_counter()
+    jax.block_until_ready(acc)
+    t["count_drain"] = time.perf_counter() - t1  # async dispatch catching up
+    if spectrum_overflowed(acc):
+        raise RuntimeError(
+            f"spectrum capacity {cfg.spectrum_capacity} overflowed: "
+            f"raise AssemblyConfig.spectrum_capacity"
+        )
+
+    t2 = time.perf_counter()
+    g, chains, cut = graph_step(acc)
+    jax.block_until_ready(chains)
+    t["graph"] = time.perf_counter() - t2
+
+    t3 = time.perf_counter()
+    contigs = chains_to_contigs(g, chains, cfg.k)
+    t["extract"] = time.perf_counter() - t3
+
+    log.info(
+        "assembled %d reads -> %d distinct kmers -> %d contigs (%s)",
+        n_reads,
+        int(cut.n),
+        len(contigs),
+        {s: f"{v:.3f}s" for s, v in t.items()},
+    )
+    return AssemblyResult(
+        contigs=contigs,
+        n_distinct_kmers=int(cut.n),
+        n_kmers_counted=int(n_windows),
+        n_reads=n_reads,
+        stage_seconds=t,
+    )

@@ -15,10 +15,12 @@ Semantics (shared, exactly, with the TPU implementation):
 3. Contigs are unitigs: maximal chains through "simple" nodes (in-degree ==
    out-degree == 1, counting distinct edges). Edge e2 follows e1 iff
    head(e1) == tail(e2) is simple.
-4. Chains with no start edge are cycles. A cycle is cut at the transition
-   (e -> succ(e)) whose (k+1)-mer spelling has the smallest canonical form; the
-   edge after the cut becomes the start. (Strand-symmetric: guarantees the
-   forward and reverse-strand cycle contigs are exact reverse complements.)
+4. Chains with no start edge are cycles. A cycle is cut at *every* transition
+   (e -> succ(e)) whose (k+1)-mer spelling achieves the cycle's smallest
+   canonical form; the edge after each cut starts a chain. (Strand-symmetric:
+   guarantees the forward and reverse-strand cycle contigs are exact reverse
+   complements. The min is achieved once per ordinary cycle; a self-reverse-
+   complement cycle hits it twice and splits into two mutually-RC arcs.)
 5. A chain e_0..e_{m-1} spells tail(e_0) + last base of each e_i: length
    (k-1) + m.
 6. Output = the set of canonical contigs min(s, revcomp(s)), deduplicated.
@@ -115,11 +117,16 @@ def contigs_from_edges(edges: set[str], k: int) -> set[str]:
             cycle.append(e)
             used.add(e)
             e = succ(e)
-        # Cut at the transition with minimal canonical (k+1)-mer; start after it.
+        # Cut at every transition achieving the minimal canonical (k+1)-mer;
+        # each cut's successor starts a chain (ordinarily exactly one cut).
         m = len(cycle)
         trans = [canon(cycle[i] + cycle[(i + 1) % m][-1]) for i in range(m)]
-        cut = min(range(m), key=lambda i: trans[i])
-        start = (cut + 1) % m
-        emit([cycle[(start + j) % m] for j in range(m)])
+        best = min(trans)
+        cuts = sorted(i for i in range(m) if trans[i] == best)
+        for ci, cut in enumerate(cuts):
+            start = (cut + 1) % m
+            nxt_cut = cuts[(ci + 1) % len(cuts)]
+            arc_len = (nxt_cut - cut) % m or m
+            emit([cycle[(start + j) % m] for j in range(arc_len)])
 
     return contigs
