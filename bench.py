@@ -1,0 +1,107 @@
+"""Headline benchmark (driver-run): SPEC config 2 — E. coli-scale single chip.
+
+Assembles a 4.6 Mbp genome from 50x 100 bp error-free reads at k=31 on the
+current default JAX backend (the one real TPU chip under axon; CPU elsewhere)
+and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The binding target (BASELINE.md / BASELINE.json north star) is <60 s wall-clock
+to contigs for a 5 Mbp genome at 50x on a v5e-16 (16 chips). This bench runs on
+ONE chip; vs_baseline = 60 / wall on the full-size problem, so vs_baseline >= 1
+means a single chip already meets the 16-chip pod-slice target.
+
+Correctness gate: the random 4.6 Mbp genome has (whp) unique 31-mers, so the
+assembly must produce exactly ONE circular contig of length G + k - 1; the bench
+fails loudly otherwise. Compile time is excluded via a warm-up run at identical
+shapes (the axon relay costs ~1 min/program cold; the persistent cache makes
+later rounds cheap).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+GENOME_BP = 4_600_000
+COVERAGE = 50
+READ_LEN = 100
+K = 31
+SEED = 2024
+
+
+def main() -> int:
+    from tpu_euler.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    import numpy as np
+
+    from tpu_euler.config import AssemblyConfig
+    from tpu_euler.pipeline.assemble import assemble_codes
+    from tpu_euler.reference_impl.simulate import random_genome, simulate_read_codes
+
+    genome = random_genome(GENOME_BP, seed=SEED)
+    codes = simulate_read_codes(
+        genome, read_len=READ_LEN, coverage=COVERAGE, seed=SEED + 1, circular=True
+    )
+    cfg = AssemblyConfig(
+        k=K,
+        read_batch=1 << 16,
+        read_len=READ_LEN,
+        spectrum_capacity=1 << 23,
+    )
+
+    # Warm-up at identical shapes on a slice of the data: compiles every program
+    # (count/graph/traversal) so the timed run measures execution, not the
+    # axon remote-compiler.
+    warm = assemble_codes(codes[: cfg.read_batch], cfg)
+    del warm
+
+    t0 = time.perf_counter()
+    result = assemble_codes(codes, cfg)
+    wall = time.perf_counter() - t0
+
+    contigs = list(result.contigs)
+    ok = len(contigs) == 1 and len(contigs[0]) == GENOME_BP + K - 1
+    if not ok:
+        print(
+            json.dumps(
+                {
+                    "metric": "wall_clock_4.6Mbp_50x_k31_1chip",
+                    "value": None,
+                    "unit": "s",
+                    "vs_baseline": 0.0,
+                    "error": f"correctness gate failed: {len(contigs)} contigs, "
+                    f"lens {[len(c) for c in contigs[:3]]}",
+                }
+            )
+        )
+        return 1
+
+    kmers_per_s = result.n_kmers_counted / wall
+    print(
+        json.dumps(
+            {
+                "metric": "wall_clock_4.6Mbp_50x_k31_1chip",
+                "value": round(wall, 3),
+                "unit": "s",
+                "vs_baseline": round(60.0 / wall, 3),
+                "detail": {
+                    "reads": result.n_reads,
+                    "kmers_counted": result.n_kmers_counted,
+                    "distinct_kmers": result.n_distinct_kmers,
+                    "kmers_per_s_per_chip": round(kmers_per_s),
+                    "reads_per_s": round(result.n_reads / wall),
+                    "stages_s": {k: round(v, 3) for k, v in result.stage_seconds.items()},
+                    "baseline_note": "target is <60s on a v5e-16 (16 chips); this run uses 1 chip",
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

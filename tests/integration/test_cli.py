@@ -1,0 +1,94 @@
+"""CLI driver tests: flags, checkpoint/resume, distributed mesh (SURVEY.md R12)."""
+
+import json
+
+import pytest
+
+from tpu_euler.cli import main
+from tpu_euler.reference_impl.oracle import assemble_oracle
+from tpu_euler.reference_impl.simulate import random_genome, simulate_reads
+from tpu_euler.verify.compare import canonical_contig_set
+
+
+@pytest.fixture(scope="module")
+def fastq(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    genome = random_genome(2500, seed=301)
+    reads = simulate_reads(genome, read_len=90, coverage=20, seed=302, circular=True)
+    path = d / "reads.fq"
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    return str(path), reads, str(d)
+
+
+def run_cli(argv, capsys):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, json.loads(out[-1]) if out else None
+
+
+def read_contigs(path):
+    from tpu_euler.io.fastx import read_fasta
+
+    return [s for _, s in read_fasta(path)]
+
+
+def test_cli_assemble_matches_oracle(fastq, capsys):
+    path, reads, d = fastq
+    rc, metrics = run_cli(
+        ["assemble", path, "-k", "21", "-o", f"{d}/out.fa", "--read-batch", "256"],
+        capsys,
+    )
+    assert rc == 0
+    assert metrics["contigs"] >= 1
+    got = canonical_contig_set(read_contigs(f"{d}/out.fa"))
+    assert got == assemble_oracle(reads, 21)
+
+
+def test_cli_save_and_resume_spectrum(fastq, capsys):
+    path, reads, d = fastq
+    rc, m1 = run_cli(
+        [
+            "assemble", path, "-k", "21", "-o", f"{d}/a.fa",
+            "--read-batch", "256", "--save-spectrum", f"{d}/spec.npz",
+        ],
+        capsys,
+    )
+    assert rc == 0
+    rc, m2 = run_cli(
+        [
+            "assemble", path, "-k", "21", "-o", f"{d}/b.fa",
+            "--resume-spectrum", f"{d}/spec.npz",
+        ],
+        capsys,
+    )
+    assert rc == 0
+    assert read_contigs(f"{d}/a.fa") == read_contigs(f"{d}/b.fa")
+    assert m2["distinct_kmers"] == m1["distinct_kmers"]
+
+
+def test_cli_resume_wrong_k_fails(fastq, capsys):
+    path, reads, d = fastq
+    rc, _ = run_cli(
+        [
+            "assemble", path, "-k", "23", "-o", f"{d}/c.fa",
+            "--resume-spectrum", f"{d}/spec.npz",
+        ],
+        capsys,
+    )
+    assert rc == 1
+
+
+def test_cli_mesh_mode(fastq, capsys):
+    path, reads, d = fastq
+    rc, metrics = run_cli(
+        [
+            "assemble", path, "-k", "21", "-o", f"{d}/m.fa",
+            "--read-batch", "64", "--mesh", "8",
+        ],
+        capsys,
+    )
+    assert rc == 0
+    got = canonical_contig_set(read_contigs(f"{d}/m.fa"))
+    assert got == assemble_oracle(reads, 21)

@@ -29,6 +29,15 @@ def _add_assemble(sub):
     )
     p.add_argument("--mesh", type=int, default=0, help="devices for distributed count (0=single)")
     p.add_argument("--metrics-json", default="", help="write stage metrics to this path")
+    p.add_argument(
+        "--save-spectrum", default="", help="checkpoint counted k-mer spectrum (.npz)"
+    )
+    p.add_argument(
+        "--resume-spectrum",
+        default="",
+        help="resume from a spectrum checkpoint (skips read counting)",
+    )
+    p.add_argument("--profile", default="", help="dump a jax profiler trace to this dir")
     p.add_argument("-v", "--verbose", action="store_true")
 
 
@@ -48,19 +57,44 @@ def main(argv=None) -> int:
     return 2
 
 
-def _run_assemble(args) -> int:
+def _assemble_with_args(args, t0):
+    """Parse input, build config, run (resume-aware, optionally distributed)."""
     from tpu_euler.config import AssemblyConfig
-    from tpu_euler.io.fastx import read_fastx, write_fasta
-    from tpu_euler.pipeline.assemble import assemble_reads
-    from tpu_euler.utils.runtime import setup_compilation_cache
+    from tpu_euler.io.encode import encode_reads
+    from tpu_euler.io.fastx import read_fastx
+    from tpu_euler.pipeline.assemble import (
+        AssemblyResult,
+        count_spectrum,
+        spectrum_to_contigs,
+    )
+    from tpu_euler.pipeline.checkpoint import load_spectrum, save_spectrum
 
-    setup_compilation_cache()
+    if args.resume_spectrum:
+        spec, k = load_spectrum(args.resume_spectrum)
+        if k != args.k:
+            print(f"checkpoint is k={k}, requested k={args.k}", file=sys.stderr)
+            return None, 0.0
+        cfg = AssemblyConfig(
+            k=args.k,
+            min_count=args.min_count,
+            read_len=max(args.read_len, args.k),
+            spectrum_capacity=spec.limbs.shape[0],
+        )
+        t: dict = {}
+        contigs, n_cut = spectrum_to_contigs(spec, cfg, t)
+        result = AssemblyResult(
+            contigs=contigs,
+            n_distinct_kmers=n_cut,
+            n_kmers_counted=int(spec.counts.sum()),
+            n_reads=0,
+            stage_seconds=t,
+        )
+        return result, time.perf_counter() - t0
 
-    t0 = time.perf_counter()
     reads = [seq for _, seq in read_fastx(args.reads) if len(seq) >= args.k]
     if not reads:
         print(f"no reads of length >= k={args.k} found", file=sys.stderr)
-        return 1
+        return None, 0.0
     read_len = args.read_len or max(len(r) for r in reads)
     total_bases = sum(len(r) for r in reads)
     cap = args.spectrum_capacity or 1 << max(
@@ -76,14 +110,54 @@ def _run_assemble(args) -> int:
     )
     t_parse = time.perf_counter() - t0
 
-    result = assemble_reads(reads, cfg)
+    if args.mesh:
+        from tpu_euler.dist.pipeline import assemble_reads_distributed
+
+        result = assemble_reads_distributed(reads, cfg, n_devices=args.mesh)
+        return result, t_parse
+
+    t = {}
+    codes = encode_reads(reads, cfg.read_len)
+    acc, n_windows = count_spectrum(codes, cfg, t)
+    if args.save_spectrum:
+        save_spectrum(args.save_spectrum, acc, cfg.k)
+    contigs, n_cut = spectrum_to_contigs(acc, cfg, t)
+    result = AssemblyResult(
+        contigs=contigs,
+        n_distinct_kmers=n_cut,
+        n_kmers_counted=n_windows,
+        n_reads=len(reads),
+        stage_seconds=t,
+    )
+    return result, t_parse
+
+
+def _run_assemble(args) -> int:
+    from tpu_euler.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    profiler_cm = None
+    if args.profile:
+        import jax
+
+        profiler_cm = jax.profiler.trace(args.profile)
+        profiler_cm.__enter__()
+
+    t0 = time.perf_counter()
+    result, t_parse = _assemble_with_args(args, t0)
+    if result is None:
+        return 1
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
+    from tpu_euler.io.fastx import write_fasta
+
     contigs = sorted(result.contig_strings, key=len, reverse=True)
     write_fasta(args.out, contigs)
 
     wall = time.perf_counter() - t0
     metrics = {
         "reads": result.n_reads,
-        "bases": total_bases,
         "kmers_counted": result.n_kmers_counted,
         "distinct_kmers": result.n_distinct_kmers,
         "contigs": len(contigs),

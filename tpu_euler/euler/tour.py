@@ -1,0 +1,197 @@
+"""Eulerian tour construction: successor pairing, circuit labeling, swipe merge.
+
+Reference parity module for SURVEY.md R7-R9 — the GPU-Euler lineage's core:
+(R7) per-vertex pairing of in-edges with out-edges, (R8) circuit identification,
+(R9) iterative circuit merging ("swipe") until each component is covered by one
+circuit. The PyCUDA reference did R7 with per-vertex threads and R8/R9 with
+pointer chasing + flag-polling loops; the TPU-native recasting is:
+
+* R7: two variadic sorts give each edge its rank among the in-edges of its head
+  and a CSR of out-edges per node; pairing is ``succ[e] = out_csr[offset[head[e]]
+  + inrank[e]]`` — a single gather, no atomics.
+* R8: chain labels by pointer doubling — cycle edges take the min edge id on
+  their cycle, path edges take their terminal edge id (offset by E so the two
+  namespaces stay disjoint).
+* R9: each round, every vertex proposes merging one non-minimal circuit into its
+  minimal-label chain by swapping the successors of the two predecessor edges;
+  proposals are deduplicated (one per source circuit, one per target edge) with
+  scatter-mins so all swaps in a round touch disjoint positions; a
+  ``lax.while_loop`` iterates to a fixed point (no proposals left). Only cycles
+  are merge *sources* (merging two paths can oscillate); a cycle can merge into
+  a path or a smaller-labeled cycle, so Eulerian components converge to a single
+  circuit and path components absorb all circuits they touch.
+
+Output: the successor permutation of the final tour plus (chain, pos) ranks from
+Wyllie list ranking — the device-side edge order of the Eulerian circuit(s).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu_euler.euler.unitigs import _log2_ceil, _safe_gather
+from tpu_euler.graph.build import DeBruijnGraph
+
+
+class EulerTour(NamedTuple):
+    succ: jax.Array  # [E] int32 — final tour successor (-1 = path end / cut)
+    chain: jax.Array  # [E] int32 — chain label (end edge id of broken chain)
+    pos: jax.Array  # [E] int32 — position of edge within its chain
+    length: jax.Array  # [E] int32 — chain length at each edge
+    n_chains: jax.Array  # [] int32 — number of chains (circuits+paths)
+    in_tour: jax.Array  # [E] bool — valid edges
+
+
+def _pair_successors(g: DeBruijnGraph) -> jax.Array:
+    """R7: pair the i-th in-edge of every node with its i-th out-edge."""
+    E = g.tail.shape[0]
+    inv = (~g.edge_valid).astype(jnp.uint32)
+    eid = jnp.arange(E, dtype=jnp.int32)
+
+    # out-CSR: edges sorted by tail; offset[v] = first slot of v's out-edges
+    s_inv_t, s_tail, out_csr = jax.lax.sort(
+        [inv, g.tail.astype(jnp.uint32), eid], num_keys=2, is_stable=True
+    )
+    offset = jnp.full((2 * E,), E, jnp.int32).at[
+        jnp.where(s_inv_t == 0, s_tail.astype(jnp.int32), 2 * E - 1)
+    ].min(eid)
+
+    # in-rank: position of e among in-edges of head[e]
+    s_inv_h, s_head, in_edges = jax.lax.sort(
+        [inv, g.head.astype(jnp.uint32), eid], num_keys=2, is_stable=True
+    )
+    head_start = jnp.full((2 * E,), E, jnp.int32).at[
+        jnp.where(s_inv_h == 0, s_head.astype(jnp.int32), 2 * E - 1)
+    ].min(eid)
+    inrank = jnp.zeros((E,), jnp.int32).at[in_edges].set(
+        eid - head_start[jnp.clip(s_head.astype(jnp.int32), 0, 2 * E - 1)]
+    )
+
+    h = jnp.clip(g.head, 0, 2 * E - 1)
+    slot = offset[h] + inrank
+    paired = inrank < g.outdeg[h]  # head has an out-edge to pair with
+    succ = jnp.where(
+        g.edge_valid & paired, out_csr[jnp.clip(slot, 0, E - 1)].astype(jnp.int32), -1
+    )
+    return succ
+
+
+def _labels(succ: jax.Array, valid: jax.Array, rounds: int) -> tuple[jax.Array, jax.Array]:
+    """R8: chain labels. Cycle edges: min edge id on cycle. Path edges: E + end id."""
+    E = succ.shape[0]
+    eid = jnp.arange(E, dtype=jnp.int32)
+
+    def round_fn(_, state):
+        p, m, q = state
+        m_nxt = jnp.where(p >= 0, m[jnp.clip(p, 0, E - 1)], m)
+        m = jnp.minimum(m, m_nxt)
+        q = q[q]
+        return _safe_gather(p, p), m, q
+
+    q0 = jnp.where(succ >= 0, succ, eid)
+    p, m, q = jax.lax.fori_loop(0, rounds, round_fn, (succ, eid, q0))
+    on_cycle = (p >= 0) & valid
+    label = jnp.where(on_cycle, m, E + q)
+    return jnp.where(valid, label, 2 * E), on_cycle
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds",))
+def eulerian_tour(g: DeBruijnGraph, max_rounds: int = 0) -> EulerTour:
+    """Full tour: pair, label, swipe-merge to fixed point, rank. See module doc."""
+    E = g.tail.shape[0]
+    rounds = _log2_ceil(E) + 1
+    eid = jnp.arange(E, dtype=jnp.int32)
+    valid = g.edge_valid
+    tail_c = jnp.where(valid, g.tail, 2 * E - 1)
+
+    succ0 = _pair_successors(g)
+
+    def merge_cond(state):
+        _, changed, it = state
+        return changed & (it < (max_rounds or E))
+
+    def merge_body(state):
+        succ, _, it = state
+        label, on_cycle = _labels(succ, valid, rounds)
+
+        # pred[e]: inverse of succ
+        pred = jnp.full((E,), -1, jnp.int32).at[
+            jnp.where(succ >= 0, succ, E)
+        ].set(eid, mode="drop")
+
+        # min label at each vertex (over out-edges)
+        lmin = jnp.full((2 * E,), 2 * E, jnp.int32).at[tail_c].min(label)
+        at_v = lmin[jnp.clip(g.tail, 0, 2 * E - 1)]
+        # representative out-edge of the min chain at each vertex
+        rep = jnp.full((2 * E,), E, jnp.int32).at[
+            jnp.where(valid & (label == at_v), g.tail, 2 * E - 1)
+        ].min(eid)
+
+        # candidate source edges: cycle edges whose label is not the vertex min
+        cand = valid & on_cycle & (label != at_v)
+        # dedupe 1: one proposal per source circuit label
+        by_label = jnp.full((2 * E,), E, jnp.int32).at[
+            jnp.where(cand, label, 2 * E - 1)
+        ].min(eid)
+        keep1 = cand & (by_label[jnp.clip(label, 0, 2 * E - 1)] == eid)
+        # target edge for surviving proposals
+        a = rep[jnp.clip(g.tail, 0, 2 * E - 1)]
+        # dedupe 2: one proposal per target edge a
+        by_a = jnp.full((E + 1,), E, jnp.int32).at[
+            jnp.where(keep1, jnp.clip(a, 0, E), E)
+        ].min(eid)
+        keep = keep1 & (a < E) & (by_a[jnp.clip(a, 0, E - 1)] == eid)
+
+        pa = jnp.where(keep, pred[jnp.clip(a, 0, E - 1)], -1)
+        pb = jnp.where(keep, pred, -1)
+        ok = keep & (pa >= 0) & (pb >= 0)
+        # apply swaps: succ[pa] = f (the source edge), succ[pb] = a
+        succ2 = succ.at[jnp.where(ok, pa, E)].set(eid, mode="drop")
+        succ2 = succ2.at[jnp.where(ok, pb, E)].set(
+            jnp.where(ok, a, -1), mode="drop"
+        )
+        changed = jnp.any(ok)
+        return succ2, changed, it + 1
+
+    succ, _, n_rounds = jax.lax.while_loop(
+        merge_cond, merge_body, (succ0, jnp.asarray(True), jnp.asarray(0))
+    )
+
+    # break remaining circuits at their min edge (pred of min gets -1)
+    label, on_cycle = _labels(succ, valid, rounds)
+    is_cyc_min = on_cycle & (label == eid)
+    cut = jnp.where(succ >= 0, is_cyc_min[jnp.clip(succ, 0, E - 1)], False)
+    succ_cut = jnp.where(cut & on_cycle, -1, succ)
+
+    # Wyllie ranking (same as unitigs)
+    d0 = jnp.where(succ_cut >= 0, 1, 0).astype(jnp.int32)
+    q0 = jnp.where(succ_cut >= 0, succ_cut, eid)
+
+    def rank_round(_, state):
+        nxt, d, q = state
+        d = d + jnp.where(nxt >= 0, d[jnp.clip(nxt, 0, E - 1)], 0)
+        return _safe_gather(nxt, nxt), d, q[q]
+
+    _, d, end_edge = jax.lax.fori_loop(0, rounds, rank_round, (succ_cut, d0, q0))
+
+    has_pred = jnp.zeros((E,), jnp.bool_).at[
+        jnp.where(succ_cut >= 0, succ_cut, E)
+    ].set(True, mode="drop")
+    is_start = valid & ~has_pred
+    start_dest = jnp.where(is_start, end_edge, E)
+    len_at_end = jnp.zeros((E,), jnp.int32).at[start_dest].set(d + 1, mode="drop")
+    length = jnp.where(valid, len_at_end[jnp.clip(end_edge, 0, E - 1)], 0)
+    pos = jnp.where(valid, length - 1 - d, 0)
+
+    return EulerTour(
+        succ=succ_cut,
+        chain=jnp.where(valid, end_edge, -1),
+        pos=pos,
+        length=length,
+        n_chains=jnp.sum(is_start.astype(jnp.int32)),
+        in_tour=valid,
+    )

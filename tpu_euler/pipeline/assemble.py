@@ -80,27 +80,34 @@ def assemble_reads(
     reads: Iterable[str] | list[str], cfg: AssemblyConfig
 ) -> AssemblyResult:
     """Assemble an iterable of read strings into canonical contigs."""
-    t = {"encode": 0.0, "count": 0.0, "count_drain": 0.0, "graph": 0.0, "extract": 0.0}
-    count_step = make_count_step(cfg.k)
-    graph_step = make_graph_step(cfg.k, cfg.min_count)
-
-    acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
-    n_reads = 0
-    n_windows = jnp.zeros((), jnp.int32)
     reads = list(reads) if not isinstance(reads, list) else reads
+    codes = encode_reads(reads, cfg.read_len)
+    return assemble_codes(codes, cfg)
 
-    for i in range(0, max(len(reads), 1), cfg.read_batch):
-        batch = reads[i : i + cfg.read_batch]
-        if not batch and n_reads:
-            break
-        n_reads += len(batch)
+
+def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
+    """Stream a pre-encoded [R, read_len] int8 code matrix into a Spectrum.
+
+    Returns (spectrum, n_windows_counted).
+    """
+    import numpy as np
+
+    t = t if t is not None else {}
+    t.setdefault("encode", 0.0)
+    t.setdefault("count", 0.0)
+    t.setdefault("count_drain", 0.0)
+    count_step = make_count_step(cfg.k)
+    acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
+    n_reads = codes_all.shape[0]
+    n_windows = jnp.zeros((), jnp.int32)
+
+    for i in range(0, max(n_reads, 1), cfg.read_batch):
+        batch = codes_all[i : i + cfg.read_batch]
         t0 = time.perf_counter()
-        codes = jnp.asarray(encode_reads(batch, cfg.read_len))
-        if codes.shape[0] < cfg.read_batch:  # pad final batch to static shape
-            pad = jnp.full(
-                (cfg.read_batch - codes.shape[0], cfg.read_len), 4, jnp.int8
-            )
-            codes = jnp.concatenate([codes, pad], axis=0)
+        if batch.shape[0] < cfg.read_batch:  # pad final batch to static shape
+            pad = np.full((cfg.read_batch - batch.shape[0], cfg.read_len), 4, np.int8)
+            batch = np.concatenate([batch, pad], axis=0)
+        codes = jnp.asarray(batch)
         t1 = time.perf_counter()
         acc, nw = count_step(codes, acc)
         n_windows = n_windows + nw
@@ -115,7 +122,15 @@ def assemble_reads(
             f"spectrum capacity {cfg.spectrum_capacity} overflowed: "
             f"raise AssemblyConfig.spectrum_capacity"
         )
+    return acc, int(n_windows)
 
+
+def spectrum_to_contigs(
+    acc: Spectrum, cfg: AssemblyConfig, t: dict | None = None
+) -> tuple[set, int]:
+    """Cutoff + graph build + traversal + host emission. Returns (contigs, n_cut)."""
+    t = t if t is not None else {}
+    graph_step = make_graph_step(cfg.k, cfg.min_count)
     t2 = time.perf_counter()
     g, chains, cut = graph_step(acc)
     jax.block_until_ready(chains)
@@ -124,18 +139,26 @@ def assemble_reads(
     t3 = time.perf_counter()
     contigs = chains_to_contigs(g, chains, cfg.k)
     t["extract"] = time.perf_counter() - t3
+    return contigs, int(cut.n)
 
+
+def assemble_codes(codes_all, cfg: AssemblyConfig) -> AssemblyResult:
+    """Assemble from a pre-encoded [R, read_len] int8 code matrix."""
+    t: dict = {}
+    acc, n_windows = count_spectrum(codes_all, cfg, t)
+    contigs, n_cut = spectrum_to_contigs(acc, cfg, t)
+    n_reads = codes_all.shape[0]
     log.info(
         "assembled %d reads -> %d distinct kmers -> %d contigs (%s)",
         n_reads,
-        int(cut.n),
+        n_cut,
         len(contigs),
         {s: f"{v:.3f}s" for s, v in t.items()},
     )
     return AssemblyResult(
         contigs=contigs,
-        n_distinct_kmers=int(cut.n),
-        n_kmers_counted=int(n_windows),
+        n_distinct_kmers=n_cut,
+        n_kmers_counted=n_windows,
         n_reads=n_reads,
         stage_seconds=t,
     )

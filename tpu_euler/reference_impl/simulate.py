@@ -74,6 +74,46 @@ def simulate_reads(
     return reads
 
 
+def simulate_read_codes(
+    genome: str,
+    read_len: int = 100,
+    coverage: float = 30.0,
+    seed: int = 0,
+    error_rate: float = 0.0,
+    circular: bool = True,
+    both_strands: bool = True,
+) -> np.ndarray:
+    """Vectorized simulator: returns an [R, read_len] int8 code matrix directly.
+
+    Same model as simulate_reads (uniform substitution errors, random strand)
+    but fully numpy — used for benchmark-scale inputs (millions of reads) where
+    per-read Python string slicing would dominate the measured pipeline.
+    """
+    rng = np.random.default_rng(seed)
+    lut = np.full(256, 4, dtype=np.int8)
+    for i, b in enumerate(b"ACGT"):
+        lut[b] = i
+    g = lut[np.frombuffer(genome.encode(), dtype=np.uint8)]
+    G = len(g)
+    n_reads = int(np.ceil(coverage * G / read_len))
+    max_start = G if circular else G - read_len + 1
+    if max_start <= 0:
+        raise ValueError("genome shorter than read length")
+    starts = rng.integers(0, max_start, n_reads)
+    offs = (starts[:, None] + np.arange(read_len)[None, :]) % G if circular else (
+        starts[:, None] + np.arange(read_len)[None, :]
+    )
+    codes = g[offs]
+    if both_strands:
+        flip = rng.integers(0, 2, n_reads).astype(bool)
+        codes[flip] = (3 - codes[flip])[:, ::-1]
+    if error_rate > 0.0:
+        mask = rng.random(codes.shape) < error_rate
+        shift = rng.integers(1, 4, codes.shape).astype(np.int8)
+        codes = np.where(mask, (codes + shift) % 4, codes)
+    return codes.astype(np.int8)
+
+
 def _add_errors(reads: list[str], rate: float, rng: np.random.Generator) -> list[str]:
     out = []
     for r in reads:
