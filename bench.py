@@ -48,7 +48,7 @@ def main() -> int:
     )
     cfg = AssemblyConfig(
         k=K,
-        read_batch=1 << 16,
+        read_batch=1 << 18,
         read_len=READ_LEN,
         spectrum_capacity=1 << 23,
     )

@@ -92,3 +92,28 @@ def test_cli_mesh_mode(fastq, capsys):
     assert rc == 0
     got = canonical_contig_set(read_contigs(f"{d}/m.fa"))
     assert got == assemble_oracle(reads, 21)
+
+
+def test_cli_min_qual_masks_bad_bases(tmp_path, capsys):
+    """Low-quality error bases masked as N: assembly matches the clean oracle."""
+    genome = random_genome(1200, seed=401)
+    reads = simulate_reads(genome, read_len=80, coverage=20, seed=402, circular=True)
+    path = tmp_path / "q.fq"
+    with open(path, "w") as f:
+        for i, r in enumerate(reads):
+            r = list(r)
+            qual = ["I"] * len(r)
+            if i % 3 == 0:  # corrupt one base but flag it with low quality
+                r[37] = "ACGT"[(("ACGT".index(r[37])) + 1) % 4]
+                qual[37] = "#"  # phred 2
+            f.write(f"@r{i}\n{''.join(r)}\n+\n{''.join(qual)}\n")
+    rc = main(
+        [
+            "assemble", str(path), "-k", "21", "-o", str(tmp_path / "q.fa"),
+            "--read-batch", "256", "--min-qual", "10",
+        ]
+    )
+    capsys.readouterr()
+    assert rc == 0
+    got = canonical_contig_set(read_contigs(str(tmp_path / "q.fa")))
+    assert got == assemble_oracle(reads, 21)

@@ -19,6 +19,12 @@ def _add_assemble(sub):
     p.add_argument("-k", type=int, default=31, help="k-mer length (odd)")
     p.add_argument("-o", "--out", default="contigs.fa", help="output FASTA")
     p.add_argument("--min-count", type=int, default=1, help="k-mer frequency cutoff")
+    p.add_argument(
+        "--min-qual",
+        type=int,
+        default=0,
+        help="mask FASTQ bases below this phred quality as N (0 = off)",
+    )
     p.add_argument("--read-len", type=int, default=0, help="pad/truncate length (0=auto)")
     p.add_argument("--read-batch", type=int, default=8192)
     p.add_argument(
@@ -91,7 +97,18 @@ def _assemble_with_args(args, t0):
         )
         return result, time.perf_counter() - t0
 
-    reads = [seq for _, seq in read_fastx(args.reads) if len(seq) >= args.k]
+    quals = None
+    stem = args.reads[:-3] if args.reads.endswith(".gz") else args.reads
+    if args.min_qual > 0 and stem.endswith((".fq", ".fastq")):
+        from tpu_euler.io.fastx import read_fastq_with_qual
+
+        recs = [
+            (s, q) for _, s, q in read_fastq_with_qual(args.reads) if len(s) >= args.k
+        ]
+        reads = [s for s, _ in recs]
+        quals = [q for _, q in recs]
+    else:
+        reads = [seq for _, seq in read_fastx(args.reads) if len(seq) >= args.k]
     if not reads:
         print(f"no reads of length >= k={args.k} found", file=sys.stderr)
         return None, 0.0
@@ -117,7 +134,12 @@ def _assemble_with_args(args, t0):
         return result, t_parse
 
     t = {}
-    codes = encode_reads(reads, cfg.read_len)
+    if quals is not None:
+        from tpu_euler.io.encode import encode_reads_with_qual
+
+        codes = encode_reads_with_qual(reads, quals, cfg.read_len, args.min_qual)
+    else:
+        codes = encode_reads(reads, cfg.read_len)
     acc, n_windows = count_spectrum(codes, cfg, t)
     if args.save_spectrum:
         save_spectrum(args.save_spectrum, acc, cfg.k)

@@ -54,10 +54,15 @@ class AssemblyConfig:
         if self.read_len < self.k:
             raise ValueError("read_len must be >= k")
         if self.kmer_batch_capacity == 0:
+            # distinct keys in one batch are a subset of the global distinct
+            # set, so the spectrum capacity is always a safe upper bound
             object.__setattr__(
                 self,
                 "kmer_batch_capacity",
-                _ceil_pow2(self.read_batch * self.windows_per_read),
+                min(
+                    _ceil_pow2(self.read_batch * self.windows_per_read),
+                    self.spectrum_capacity,
+                ),
             )
 
     @property

@@ -25,7 +25,7 @@ from tpu_euler.dist.count_dist import (
     make_gather_spectrum,
 )
 from tpu_euler.dist.mesh import batch_sharding, make_mesh
-from tpu_euler.euler.extract import chains_to_contigs
+from tpu_euler.euler.extract import chains_to_contigs_device
 from tpu_euler.io.encode import encode_reads
 from tpu_euler.pipeline.assemble import AssemblyResult, make_graph_step
 
@@ -104,7 +104,7 @@ def assemble_reads_distributed(
     t["graph"] = time.perf_counter() - t3
 
     t4 = time.perf_counter()
-    contigs = chains_to_contigs(g, chains, cfg.k)
+    contigs = chains_to_contigs_device(g, chains, cfg.k)
     t["extract"] = time.perf_counter() - t4
 
     log.info(

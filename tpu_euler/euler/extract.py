@@ -1,14 +1,28 @@
-"""Chain -> contig sequence emission (host side).
+"""Chain -> contig sequence emission.
 
 Reference counterpart: SURVEY.md R10/R11 (tour walk + FASTA write, D2H copy then
-host walk). Device arrays (chain id, position, last base, start-edge prefix) are
-downloaded once; string assembly is vectorized numpy (a single scatter into one
-byte buffer), not a Python walk. Canonicalization (min of sequence and reverse
-complement, SPEC correctness bar) and dedup happen on host bytes.
+host walk). Two implementations:
+
+* ``chains_to_contigs`` (host): download per-edge arrays, one vectorized numpy
+  scatter into a byte buffer. Simple; D2H volume is O(E) — fine for tests.
+* ``chains_to_contigs_device`` (device): the edge->byte scatter happens on the
+  TPU — edges are sorted by (chain, pos), per-chain output offsets come from an
+  exclusive scan, and one scatter writes every edge's last base into a dense
+  uint8 contig buffer. Only O(total contig bases) crosses to host (~35x less
+  than the host path at benchmark scale), where (k-1)-base chain prefixes are
+  stitched in and sequences canonicalized.
+
+Canonicalization (min of sequence and reverse complement, SPEC correctness bar)
+and dedup happen on host bytes in both paths; results are identical.
 """
 
 from __future__ import annotations
 
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tpu_euler.euler.unitigs import UnitigChains
@@ -37,6 +51,124 @@ def decode_bases_np(limbs: np.ndarray, n_bases: int, k: int) -> np.ndarray:
         code = (limbs64[:, lj] >> sh) & np.uint64(3)
         out[:, i] = _BASES[code.astype(np.int64)]
     return out
+
+
+class DeviceEmission(NamedTuple):
+    """Device-side contig buffer + per-chain tables (capacity-padded)."""
+
+    buf: jax.Array  # [out_capacity] uint8 base codes (0..3)
+    chain_off: jax.Array  # [chain_capacity] int32 byte offset of each chain
+    chain_len: jax.Array  # [chain_capacity] int32 total bytes (k-1+edges)
+    start_limbs: jax.Array  # [chain_capacity, L] start edge key (for the prefix)
+    n_chains: jax.Array  # [] int32
+    total: jax.Array  # [] int32 total bytes used
+
+
+@functools.partial(jax.jit, static_argnames=("k", "out_capacity", "chain_capacity"))
+def emit_chains_device(
+    g: DeBruijnGraph,
+    chains: UnitigChains,
+    k: int,
+    out_capacity: int,
+    chain_capacity: int,
+) -> DeviceEmission:
+    """Assemble all contig bytes on device; see module docstring."""
+    E, L = g.edge_limbs.shape
+    eid = jnp.arange(E, dtype=jnp.int32)
+    inv = (~chains.in_chain).astype(jnp.uint32)
+    # sort edges by (valid-first, chain, pos); payload = edge id
+    s_inv, _, s_pos, s_eid = jax.lax.sort(
+        [
+            inv,
+            chains.chain.astype(jnp.uint32),
+            chains.pos.astype(jnp.uint32),
+            eid,
+        ],
+        num_keys=3,
+        is_stable=True,
+    )
+    s_valid = s_inv == 0
+    s_len = jnp.where(s_valid, chains.length[s_eid], 0)
+    is_start = s_valid & (s_pos == 0)
+    # exclusive scan of per-chain output sizes -> chain offsets at start slots
+    contrib = jnp.where(is_start, s_len + (k - 1), 0)
+    cs = jnp.cumsum(contrib) - contrib  # exclusive
+    start_slot = jnp.arange(E, dtype=jnp.int32) - s_pos.astype(jnp.int32)
+    chain_off = cs[jnp.clip(start_slot, 0, E - 1)]  # offset of this edge's chain
+    total = cs[-1] + contrib[-1]
+
+    # scatter every edge's last base into the buffer
+    out_pos = chain_off + (k - 1) + s_pos.astype(jnp.int32)
+    lastb = (g.edge_limbs[s_eid, L - 1] & jnp.uint32(3)).astype(jnp.uint8)
+    dest = jnp.where(s_valid & (out_pos < out_capacity), out_pos, out_capacity)
+    buf = jnp.zeros((out_capacity,), jnp.uint8).at[dest].set(lastb, mode="drop")
+
+    # compact per-chain tables via chain rank
+    rank = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    crank = jnp.where(is_start, rank, chain_capacity)
+    chain_off_t = (
+        jnp.zeros((chain_capacity,), jnp.int32).at[crank].set(chain_off, mode="drop")
+    )
+    chain_len_t = (
+        jnp.zeros((chain_capacity,), jnp.int32)
+        .at[crank]
+        .set(s_len + (k - 1), mode="drop")
+    )
+    start_limbs = (
+        jnp.zeros((chain_capacity, L), jnp.uint32)
+        .at[crank]
+        .set(g.edge_limbs[s_eid], mode="drop")
+    )
+    return DeviceEmission(
+        buf=buf,
+        chain_off=chain_off_t,
+        chain_len=chain_len_t,
+        start_limbs=start_limbs,
+        n_chains=jnp.sum(is_start.astype(jnp.int32)),
+        total=total,
+    )
+
+
+def chains_to_contigs_device(
+    g: DeBruijnGraph,
+    chains: UnitigChains,
+    k: int,
+    out_capacity: int | None = None,
+    chain_capacity: int | None = None,
+) -> set[bytes]:
+    """Device-scatter emission; falls back to the host path on capacity overflow."""
+    E = g.edge_limbs.shape[0]
+    out_capacity = out_capacity or E + (k - 1) * max(1024, E >> 4)
+    chain_capacity = chain_capacity or max(1024, E >> 4)
+    em = emit_chains_device(g, chains, k, out_capacity, chain_capacity)
+    n_chains = int(em.n_chains)
+    total = int(em.total)
+    if n_chains > chain_capacity or total > out_capacity:
+        return chains_to_contigs(g, chains, k)  # rare: tiny-fragment blowup
+    if n_chains == 0:
+        return set()
+
+    # O(output) transfers only. Slice sizes are rounded up to a granule so the
+    # eager slice op compiles once, not once per distinct data-dependent length
+    # (the axon relay charges ~45s per fresh XLA program).
+    def _pad_slice(arr, n, granule=1 << 20):
+        m = min(arr.shape[0], -(-n // granule) * granule)
+        return np.asarray(arr[:m])[:n]
+
+    buf = _pad_slice(em.buf, total)
+    off = _pad_slice(em.chain_off, n_chains, 1 << 14)
+    lens = _pad_slice(em.chain_len, n_chains, 1 << 14)
+    start_limbs = _pad_slice(em.start_limbs, n_chains, 1 << 14)
+    seq = _BASES[buf]
+    prefixes = decode_bases_np(start_limbs, k - 1, k)
+    contigs: set[bytes] = set()
+    for c in range(n_chains):
+        s = seq[off[c] : off[c] + lens[c]]
+        s[: k - 1] = prefixes[c]
+        fwd = s.tobytes()
+        rev = rc_bytes(s).tobytes()
+        contigs.add(fwd if fwd <= rev else rev)
+    return contigs
 
 
 def chains_to_contigs(

@@ -56,6 +56,36 @@ def _log2_ceil(n: int) -> int:
     return max(1, (n - 1).bit_length())
 
 
+def wyllie_rank(succ: jax.Array, rounds: int) -> tuple[jax.Array, jax.Array]:
+    """Wyllie list ranking with packed [E, 3] state rows (p, d, q).
+
+    Returns (d = distance to chain end, end_edge label per edge). One row
+    gather per doubling round; q uses a terminal self-loop so it converges to
+    the end edge (and q[e] == p[e] whenever p[e] is live, letting d/q share the
+    same gathered row).
+    """
+    E = succ.shape[0]
+    SENT = jnp.uint32(0xFFFFFFFF)
+    eid = jnp.arange(E, dtype=jnp.uint32)
+    p0 = jnp.where(succ >= 0, succ.astype(jnp.uint32), SENT)
+    d0 = jnp.where(succ >= 0, 1, 0).astype(jnp.uint32)
+    q0 = jnp.where(succ >= 0, succ.astype(jnp.uint32), eid)
+    S0 = jnp.stack([p0, d0, q0], axis=1)
+
+    def round_fn(_, S):
+        p = S[:, 0]
+        alive = p != SENT
+        idx = jnp.where(alive, p, eid).astype(jnp.int32)
+        rows = S[idx]
+        p_new = jnp.where(alive, rows[:, 0], SENT)
+        d_new = S[:, 1] + jnp.where(alive, rows[:, 1], 0)
+        q_new = rows[:, 2]
+        return jnp.stack([p_new, d_new, q_new], axis=1)
+
+    S = jax.lax.fori_loop(0, rounds, round_fn, S0)
+    return S[:, 1].astype(jnp.int32), S[:, 2].astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def successor(g: DeBruijnGraph, k: int) -> jax.Array:
     """succ[e]: unique following edge through a simple head node, else -1."""
@@ -69,38 +99,41 @@ def successor(g: DeBruijnGraph, k: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def cut_cycles(g: DeBruijnGraph, succ: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
-    """Break pure cycles deterministically. Returns (succ_cut, on_cycle)."""
+    """Break pure cycles deterministically. Returns (succ_cut, on_cycle).
+
+    Cycle detection and min-transition propagation run in ONE fused doubling
+    loop whose per-edge state (pointer + candidate min key) lives in a single
+    packed [E, 1+L] row — one row-gather per round instead of several scalar
+    gathers (random-gather transactions, not bytes, dominate on TPU HBM).
+    """
     E = succ.shape[0]
+    L = g.edge_limbs.shape[1]
     rounds = _log2_ceil(E) + 1
+    SENT = jnp.uint32(0xFFFFFFFF)
 
-    # --- detect cycle membership: does the chain from e ever reach -1? ---
-    def detect(_, p):
-        return _safe_gather(p, p)
-
-    p = jax.lax.fori_loop(0, rounds, detect, succ)
-    on_cycle = (p >= 0) & g.edge_valid
-
-    # --- transition key t[e] = canonical (k+1)-mer of edge e + first step ---
+    # transition key t[e] = canonical (k+1)-mer of edge e + first step's base
     nb = keys.last_base(g.edge_limbs[jnp.clip(succ, 0, E - 1)])
     t = keys.append_base(g.edge_limbs, nb, k)
     t, _ = keys.canonical(t, k + 1)
-    # mask non-cycle transitions to all-ones so they never win the min
-    t = jnp.where(on_cycle[:, None], t, jnp.uint32(0xFFFFFFFF))
+    t = jnp.where((succ >= 0)[:, None], t, SENT)
 
-    # --- min-propagate t around each cycle by pointer doubling ---
-    def min_round(_, state):
-        p, m = state
-        m_nxt = m[jnp.clip(p, 0, E - 1)]
-        m_nxt = jnp.where((p >= 0)[:, None], m_nxt, jnp.uint32(0xFFFFFFFF))
-        take = keys.key_less(m_nxt, m, k + 1)
-        m = jnp.where(take[:, None], m_nxt, m)
-        return _safe_gather(p, p), m
+    # packed state: column 0 = pointer (sentinel = all-ones), columns 1..L = min key
+    p0 = jnp.where(succ >= 0, succ.astype(jnp.uint32), SENT)
+    state0 = jnp.concatenate([p0[:, None], t], axis=1)
 
-    # run on the original succ pointers (cycles never hit -1, so every edge
-    # aggregates the min over its whole cycle after ceil(log2(len)) rounds)
-    _, m = jax.lax.fori_loop(0, rounds, min_round, (succ, t))
+    def round_fn(_, S):
+        p = S[:, 0]
+        alive = p != SENT
+        rows = S[jnp.clip(p, 0, jnp.uint32(E - 1)).astype(jnp.int32)]
+        p_new = jnp.where(alive, rows[:, 0], SENT)
+        m_nxt = jnp.where(alive[:, None], rows[:, 1:], SENT)
+        take = keys.key_less(m_nxt, S[:, 1:], k + 1)
+        m_new = jnp.where(take[:, None], m_nxt, S[:, 1:])
+        return jnp.concatenate([p_new[:, None], m_new], axis=1)
 
-    is_cut = on_cycle & keys.key_eq(t, m)
+    S = jax.lax.fori_loop(0, rounds, round_fn, state0)
+    on_cycle = (S[:, 0] != SENT) & g.edge_valid
+    is_cut = on_cycle & keys.key_eq(t, S[:, 1:])
     succ_cut = jnp.where(is_cut, -1, succ)
     return succ_cut, on_cycle
 
@@ -113,22 +146,7 @@ def unitig_chains(g: DeBruijnGraph, k: int) -> UnitigChains:
 
     succ0 = successor(g, k)
     succ, on_cycle = cut_cycles(g, succ0, k)
-
-    # --- Wyllie list ranking: distance-to-end d and end-edge label ---
-    eid = jnp.arange(E, dtype=jnp.int32)
-    d0 = jnp.where(succ >= 0, 1, 0).astype(jnp.int32)
-    # q: pointer with terminal self-loop so q converges to the end edge
-    q0 = jnp.where(succ >= 0, succ, eid)
-
-    def rank_round(_, state):
-        nxt, d, q = state
-        d_add = jnp.where(nxt >= 0, d[jnp.clip(nxt, 0, E - 1)], 0)
-        d = d + d_add
-        nxt2 = _safe_gather(nxt, nxt)
-        q = q[q]
-        return nxt2, d, q
-
-    _, d, end_edge = jax.lax.fori_loop(0, rounds, rank_round, (succ, d0, q0))
+    d, end_edge = wyllie_rank(succ, rounds)
 
     # --- chain starts: edges no one points to (under the cut successor) ---
     has_pred = (

@@ -67,13 +67,18 @@ def doubled_edges(spec: Spectrum, k: int) -> tuple[jax.Array, jax.Array]:
 @functools.partial(jax.jit, static_argnames=("k",))
 def assign_node_ids(
     edge_limbs: jax.Array, edge_valid: jax.Array, k: int
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+):
     """Assign dense node ids to the distinct endpoint (k-1)-mers of all edges.
 
-    Returns (tail [E], head [E], n_nodes [], node_limbs [2E, L]). Node ids are
-    ranks in the sorted order of distinct endpoint keys, so they are deterministic
-    and strand-pair-consistent regardless of edge order.
+    Returns (tail [E], head [E], n_nodes [], node_limbs [2E, L], outdeg [2E],
+    indeg [2E]). Node ids are ranks in the sorted order of distinct endpoint
+    keys, so they are deterministic and strand-pair-consistent regardless of
+    edge order. Degrees fall out of the same endpoint sort (prefix endpoints are
+    out-edges, suffix endpoints in-edges) via cumsum-diff segment counting —
+    no separate segment_sum passes.
     """
+    from tpu_euler.kmer.count import segment_sums_sorted
+
     E = edge_limbs.shape[0]
     pre = keys.prefix(edge_limbs, k)
     suf = keys.suffix(edge_limbs, k)
@@ -92,7 +97,12 @@ def assign_node_ids(
     # node key table: first occurrence of each distinct key
     dest = jnp.where(is_new, node_id, 2 * E)
     node_limbs = jnp.zeros_like(sl).at[dest].set(sl, mode="drop")
-    return ids[:E], ids[E:], n_nodes, node_limbs
+    # degrees: prefix endpoints (spos < E) are out-edges, suffixes in-edges
+    w_out = jnp.where(sv & (spos < E), 1, 0).astype(jnp.int32)
+    w_in = jnp.where(sv & (spos >= E), 1, 0).astype(jnp.int32)
+    outdeg = segment_sums_sorted(is_new, node_id, w_out, 2 * E)
+    indeg = segment_sums_sorted(is_new, node_id, w_in, 2 * E)
+    return ids[:E], ids[E:], n_nodes, node_limbs, outdeg, indeg
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -100,12 +110,11 @@ def build_graph(spec: Spectrum, k: int) -> DeBruijnGraph:
     """Full graph build from a (cutoff-filtered) canonical k-mer spectrum."""
     edge_limbs, edge_valid = doubled_edges(spec, k)
     E = edge_limbs.shape[0]
-    tail, head, n_nodes, node_limbs = assign_node_ids(edge_limbs, edge_valid, k)
+    tail, head, n_nodes, node_limbs, outdeg, indeg = assign_node_ids(
+        edge_limbs, edge_valid, k
+    )
     one = jnp.where(edge_valid, 1, 0).astype(jnp.int32)
     tail_c = jnp.where(edge_valid, tail, 2 * E - 1)
-    head_c = jnp.where(edge_valid, head, 2 * E - 1)
-    outdeg = jax.ops.segment_sum(one, tail_c, num_segments=2 * E).astype(jnp.int32)
-    indeg = jax.ops.segment_sum(one, head_c, num_segments=2 * E).astype(jnp.int32)
     # min edge id per tail node (the unique out-edge where outdeg == 1)
     eid = jnp.arange(E, dtype=jnp.int32)
     out_first = (

@@ -39,6 +39,29 @@ def encode_reads(reads: list[str] | list[bytes], read_len: int) -> np.ndarray:
     return out
 
 
+def encode_reads_with_qual(
+    reads: list[str],
+    quals: list[str],
+    read_len: int,
+    min_qual: int,
+    qual_offset: int = 33,
+) -> np.ndarray:
+    """Encode reads, masking bases with phred quality < min_qual as N.
+
+    Low-quality bases invalidate only the k-windows covering them (SPEC config 3:
+    real Illumina reads with sequencing errors), complementing the k-mer
+    frequency cutoff.
+    """
+    out = encode_reads(reads, read_len)
+    thresh = np.uint8(min_qual + qual_offset)
+    for i, q in enumerate(quals):
+        qa = np.frombuffer(q.encode(), dtype=np.uint8)[:read_len]
+        low = qa < thresh
+        if low.any():
+            out[i, : len(qa)][low] = BASE_N
+    return out
+
+
 def decode_read(codes: np.ndarray) -> str:
     """Decode one int8 code row back to a string (pads stripped)."""
     codes = np.asarray(codes)

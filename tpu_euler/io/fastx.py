@@ -52,6 +52,19 @@ def read_fastq(path: str | Path) -> Iterator[tuple[str, str]]:
             yield hdr.strip()[1:].split()[0] if len(hdr) > 1 else "", seq
 
 
+def read_fastq_with_qual(path: str | Path) -> Iterator[tuple[str, str, str]]:
+    """Yield (name, sequence, quality-string) records from a FASTQ file."""
+    with _open(path) as f:
+        while True:
+            hdr = f.readline()
+            if not hdr:
+                return
+            seq = f.readline().strip().upper()
+            f.readline()  # +
+            qual = f.readline().strip()
+            yield hdr.strip()[1:].split()[0] if len(hdr) > 1 else "", seq, qual
+
+
 def read_fastx(path: str | Path) -> Iterator[tuple[str, str]]:
     """Dispatch on extension: .fa/.fasta/.fna vs .fq/.fastq (.gz ok)."""
     p = str(path)

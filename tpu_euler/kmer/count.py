@@ -40,6 +40,23 @@ def empty_spectrum(capacity: int, nlimbs: int) -> Spectrum:
     )
 
 
+def segment_sums_sorted(is_new, seg, weights, num_segments):
+    """Per-segment weight sums for already-sorted data, WITHOUT a segment_sum.
+
+    Exclusive-cumsum + one scatter + a shifted difference: sum of segment j is
+    ecs[start(j+1)] - ecs[start(j)]. ~2x cheaper than XLA's scatter-add based
+    segment_sum at spectrum scale. Unused trailing slots read 0.
+    """
+    w = weights
+    ecs = jnp.cumsum(w) - w
+    total = ecs[-1] + w[-1]
+    dest = jnp.where(is_new, seg, num_segments + 1)
+    bounds = (
+        jnp.full((num_segments + 1,), total, w.dtype).at[dest].set(ecs, mode="drop")
+    )
+    return (bounds[1:] - bounds[:-1]).astype(jnp.int32)
+
+
 def _unique_counts(limbs, valid, weights):
     """Shared core: sorted+deduped keys with summed weights.
 
@@ -54,10 +71,7 @@ def _unique_counts(limbs, valid, weights):
     is_new = is_new & sv
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # unique index per row
     n_unique = jnp.sum(is_new.astype(jnp.int32))
-    seg_clipped = jnp.where(sv, seg, M - 1)
-    counts = jax.ops.segment_sum(
-        jnp.where(sv, sw, 0), seg_clipped, num_segments=M
-    ).astype(jnp.int32)
+    counts = segment_sums_sorted(is_new, seg, jnp.where(sv, sw, 0), M)
     # Scatter first-of-segment keys into compacted positions.
     dest = jnp.where(is_new, seg, M)  # M = out-of-bounds -> dropped
     uniq = jnp.zeros_like(sl).at[dest].set(sl, mode="drop")

@@ -1,0 +1,118 @@
+"""Pallas TPU kernel: fused k-mer extraction + canonicalization.
+
+BASELINE.json north star names "k-mer extraction and counting as a Pallas
+hash/radix-sort kernel" — this is the extraction half: one VMEM-resident kernel
+per read block that packs every k-window into multi-limb keys, computes the
+reverse complement with in-register bit tricks, and emits the canonical
+min(key, revcomp) plus validity — the work the XLA path does as ~k fused slice
+ops (tpu_euler/kmer/extract.py), hand-fused so codes are read from VMEM once.
+
+All ops are VPU elementwise on [block_reads, W] tiles; there is no MXU work in
+this stage (it is bandwidth-bound by design — 2 bits out per input base).
+Interpret mode makes the same kernel run on CPU for tests; the public entry
+falls back to the XLA path on non-TPU backends unless forced.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_euler.kmer import keys as K
+
+_U32 = jnp.uint32
+
+
+def _pack_windows(codes, k: int, W: int):
+    """codes [B, Lmax] int32 -> list of L limb arrays [B, W] (big-endian)."""
+    L = K.nlimbs(k)
+    limbs = []
+    for a in range(L):
+        lj = L - 1 - a
+        lo_i = max(0, k - 16 * lj - 16)
+        hi_i = k - 1 - 16 * lj
+        acc = jnp.zeros(codes.shape[:1] + (W,), _U32)
+        for i in range(lo_i, hi_i + 1):
+            shift = 2 * (k - 1 - i) - 32 * lj
+            c = (codes[:, i : i + W].astype(_U32)) & _U32(3)
+            acc = acc | (c << _U32(shift))
+        limbs.append(acc)
+    return limbs
+
+
+def _revcomp_limbs(limbs, k: int):
+    """Reverse complement of per-limb arrays (same layout as keys.revcomp)."""
+    L = len(limbs)
+    rev = [K._rev2bit32(x) for x in limbs][::-1]
+    s = 32 * L - 2 * k
+    if s:
+        shifted = []
+        for j in range(L):
+            lo = rev[j] >> _U32(s)
+            hi = rev[j - 1] << _U32(32 - s) if j > 0 else jnp.zeros_like(rev[j])
+            shifted.append(lo | hi)
+        rev = shifted
+    mask = K.key_mask(k)
+    return [(x ^ _U32(0xFFFFFFFF)) & _U32(int(mask[j])) for j, x in enumerate(rev)]
+
+
+def _canonical_limbs(fwd, rev):
+    lt = jnp.zeros_like(fwd[0], dtype=jnp.bool_)
+    eq = jnp.ones_like(fwd[0], dtype=jnp.bool_)
+    for f, r in zip(fwd, rev):
+        lt = lt | (eq & (r < f))
+        eq = eq & (r == f)
+    return [jnp.where(lt, r, f) for f, r in zip(fwd, rev)]
+
+
+def _extract_kernel(k: int, W: int):
+    def kernel(codes_ref, limbs_ref, valid_ref):
+        codes = codes_ref[:].astype(jnp.int32)
+        fwd = _pack_windows(codes, k, W)
+        rev = _revcomp_limbs(fwd, k)
+        canon = _canonical_limbs(fwd, rev)
+        limbs_ref[:] = jnp.stack(canon, axis=-1)
+        ok = jnp.ones(codes.shape[:1] + (W,), jnp.bool_)
+        for i in range(k):
+            ok = ok & (codes[:, i : i + W] != 4)
+        valid_ref[:] = ok
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_reads", "interpret"))
+def extract_canonical_pallas(
+    codes: jax.Array, k: int, block_reads: int = 256, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Pallas extraction; same contract as kmer.extract.extract_canonical_kmers."""
+    R, Lmax = codes.shape
+    W = Lmax - k + 1
+    L = K.nlimbs(k)
+    if R % block_reads:
+        pad = block_reads - R % block_reads
+        codes = jnp.concatenate(
+            [codes, jnp.full((pad, Lmax), 4, codes.dtype)], axis=0
+        )
+    Rp = codes.shape[0]
+    grid = (Rp // block_reads,)
+    limbs, valid = pl.pallas_call(
+        _extract_kernel(k, W),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_reads, Lmax), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_reads, W, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_reads, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, W, L), jnp.uint32),
+            jax.ShapeDtypeStruct((Rp, W), jnp.bool_),
+        ),
+        interpret=interpret,
+    )(codes)
+    return limbs[:R].reshape(R * W, L), valid[:R].reshape(R * W)

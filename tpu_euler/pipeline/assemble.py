@@ -10,6 +10,7 @@ chain assignment crosses back to host for string emission.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Iterable
@@ -19,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_euler.config import AssemblyConfig
-from tpu_euler.euler.extract import chains_to_contigs
+from tpu_euler.euler.extract import chains_to_contigs_device
 from tpu_euler.euler.unitigs import UnitigChains, unitig_chains
 from tpu_euler.graph.build import DeBruijnGraph, build_graph
 from tpu_euler.io.encode import encode_reads
@@ -50,15 +51,33 @@ class AssemblyResult:
         return {c.decode() for c in self.contigs}
 
 
-def make_count_step(k: int):
-    """Fused per-batch device step: extract + canonicalize + count + merge."""
+def make_count_step(k: int, batch_capacity: int | None = None):
+    """Fused per-batch device step: extract + canonicalize + merge-count.
 
-    @jax.jit
-    def step(codes: jax.Array, acc: Spectrum) -> tuple[Spectrum, jax.Array]:
+    Raw (unsorted) batch keys are merged straight into the accumulator with
+    unit weights: ONE variadic sort over capacity+windows rows per batch.
+    (Pre-deduping the batch first always sorts strictly more total rows —
+    windows + capacity + min(windows, capacity) — so raw merge wins.)
+    Spectrum overflow is detected by the caller via ``spectrum_overflowed``.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(codes: jax.Array, acc: Spectrum):
+        from tpu_euler.kmer.count import _unique_counts
+
         limbs, valid = extract_canonical_kmers(codes, k)
-        batch = count_batch(limbs, valid)
+        C = acc.limbs.shape[0]
+        all_limbs = jnp.concatenate([acc.limbs, limbs], axis=0)
+        weights = jnp.concatenate(
+            [acc.counts, jnp.ones((limbs.shape[0],), jnp.int32)]
+        )
+        valids = jnp.concatenate(
+            [jnp.arange(C, dtype=jnp.int32) < acc.n, valid]
+        )
+        uniq, counts, n = _unique_counts(all_limbs, valids, weights)
         n_windows = jnp.sum(valid.astype(jnp.int32))
-        return merge_spectra(acc, batch), n_windows
+        over = n > C
+        return Spectrum(uniq[:C], counts[:C], jnp.minimum(n, C)), n_windows, over
 
     return step
 
@@ -100,6 +119,7 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
     acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
     n_reads = codes_all.shape[0]
     n_windows = jnp.zeros((), jnp.int32)
+    over = jnp.zeros((), jnp.bool_)
 
     for i in range(0, max(n_reads, 1), cfg.read_batch):
         batch = codes_all[i : i + cfg.read_batch]
@@ -109,20 +129,21 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
             batch = np.concatenate([batch, pad], axis=0)
         codes = jnp.asarray(batch)
         t1 = time.perf_counter()
-        acc, nw = count_step(codes, acc)
+        acc, nw, ov = count_step(codes, acc)
         n_windows = n_windows + nw
+        over = over | ov
         t["encode"] += t1 - t0
         t["count"] += time.perf_counter() - t1
 
     t1 = time.perf_counter()
-    jax.block_until_ready(acc)
+    n_windows = int(n_windows)  # D2H: forces real completion on the axon relay
     t["count_drain"] = time.perf_counter() - t1  # async dispatch catching up
-    if spectrum_overflowed(acc):
+    if bool(over) or spectrum_overflowed(acc):
         raise RuntimeError(
             f"spectrum capacity {cfg.spectrum_capacity} overflowed: "
             f"raise AssemblyConfig.spectrum_capacity"
         )
-    return acc, int(n_windows)
+    return acc, n_windows
 
 
 def spectrum_to_contigs(
@@ -137,7 +158,7 @@ def spectrum_to_contigs(
     t["graph"] = time.perf_counter() - t2
 
     t3 = time.perf_counter()
-    contigs = chains_to_contigs(g, chains, cfg.k)
+    contigs = chains_to_contigs_device(g, chains, cfg.k)
     t["extract"] = time.perf_counter() - t3
     return contigs, int(cut.n)
 
