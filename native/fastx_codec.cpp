@@ -1,0 +1,218 @@
+// Native FASTA/FASTQ parser + 2-bit-code encoder.
+//
+// Reference counterpart: SURVEY.md R1/R2 (Python FASTA reader + base encoder).
+// The TPU pipeline consumes dense [R, read_len] int8 code matrices (A=0 C=1
+// G=2 T=3, N/pad=4); parsing millions of reads in Python dominates host time,
+// so this single-pass C++ codec writes the code matrix directly from the raw
+// file bytes. Quality masking (phred < min_qual -> N) happens in the same pass
+// (SPEC config 3). Exposed as plain C symbols for ctypes (no pybind11 in this
+// environment); gzip inputs fall back to the Python path.
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+struct Mapped {
+  const char* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+  bool ok() const { return data != nullptr; }
+};
+
+Mapped map_file(const char* path) {
+  Mapped m;
+  m.fd = open(path, O_RDONLY);
+  if (m.fd < 0) return m;
+  struct stat st;
+  if (fstat(m.fd, &st) != 0 || st.st_size == 0) {
+    close(m.fd);
+    m.fd = -1;
+    return m;
+  }
+  void* p = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, m.fd, 0);
+  if (p == MAP_FAILED) {
+    close(m.fd);
+    m.fd = -1;
+    return m;
+  }
+  m.data = static_cast<const char*>(p);
+  m.size = st.st_size;
+  madvise(p, st.st_size, MADV_SEQUENTIAL);
+  return m;
+}
+
+void unmap(Mapped& m) {
+  if (m.data) munmap(const_cast<char*>(m.data), m.size);
+  if (m.fd >= 0) close(m.fd);
+}
+
+// base -> 2-bit code lookup (A/a=0 C/c=1 G/g=2 T/t=3, everything else 4)
+struct Lut {
+  int8_t v[256];
+  Lut() {
+    memset(v, 4, sizeof(v));
+    v[(unsigned char)'A'] = v[(unsigned char)'a'] = 0;
+    v[(unsigned char)'C'] = v[(unsigned char)'c'] = 1;
+    v[(unsigned char)'G'] = v[(unsigned char)'g'] = 2;
+    v[(unsigned char)'T'] = v[(unsigned char)'t'] = 3;
+  }
+};
+const Lut kLut;
+
+inline const char* next_line(const char* p, const char* end) {
+  const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+  return nl ? nl + 1 : end;
+}
+
+// Encode one sequence line span into a row of the output matrix.
+inline void encode_row(const char* seq, size_t seq_len, const char* qual,
+                       int8_t min_qual, int8_t* row, int32_t read_len) {
+  size_t n = seq_len < (size_t)read_len ? seq_len : (size_t)read_len;
+  for (size_t i = 0; i < n; ++i) row[i] = kLut.v[(unsigned char)seq[i]];
+  if (qual && min_qual > 0) {
+    const char thresh = (char)(min_qual + 33);
+    for (size_t i = 0; i < n; ++i)
+      if (qual[i] < thresh) row[i] = 4;
+  }
+  if (n < (size_t)read_len) memset(row + n, 4, read_len - n);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan a FASTQ file: record count and maximum sequence length.
+// Returns 0 on success, -1 on open failure.
+int fq_scan(const char* path, int64_t* n_reads, int64_t* max_len) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  const char* p = m.data;
+  const char* end = m.data + m.size;
+  int64_t count = 0, maxlen = 0;
+  while (p < end) {
+    if (*p != '@') break;  // malformed; stop
+    p = next_line(p, end);                       // header
+    const char* seq = p;
+    p = next_line(p, end);                       // sequence
+    int64_t len = (p - seq) - (p > seq && p[-1] == '\n' ? 1 : 0);
+    if (len > maxlen) maxlen = len;
+    p = next_line(p, end);                       // +
+    p = next_line(p, end);                       // qual
+    ++count;
+  }
+  unmap(m);
+  *n_reads = count;
+  *max_len = maxlen;
+  return 0;
+}
+
+// Parse + encode a FASTQ file into out[max_reads][read_len] (int8, row-major).
+// Reads shorter than min_len_keep are skipped. Returns number of rows written,
+// or -1 on open failure.
+int64_t fq_encode(const char* path, int8_t* out, int64_t max_reads,
+                  int32_t read_len, int8_t min_qual, int32_t min_len_keep) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  const char* p = m.data;
+  const char* end = m.data + m.size;
+  int64_t r = 0;
+  while (p < end && r < max_reads) {
+    if (*p != '@') break;
+    p = next_line(p, end);
+    const char* seq = p;
+    p = next_line(p, end);
+    int64_t slen = (p - seq) - (p > seq && p[-1] == '\n' ? 1 : 0);
+    p = next_line(p, end);  // +
+    const char* qual = p;
+    p = next_line(p, end);
+    if (slen >= min_len_keep) {
+      encode_row(seq, slen, min_qual > 0 ? qual : nullptr, min_qual,
+                 out + r * (int64_t)read_len, read_len);
+      ++r;
+    }
+  }
+  unmap(m);
+  return r;
+}
+
+// Scan a FASTA file: record count and maximum sequence length (multi-line
+// records are concatenated).
+int fa_scan(const char* path, int64_t* n_reads, int64_t* max_len) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  const char* p = m.data;
+  const char* end = m.data + m.size;
+  int64_t count = 0, maxlen = 0, cur = -1;
+  while (p < end) {
+    if (*p == '>') {
+      if (cur > maxlen) maxlen = cur;
+      ++count;
+      cur = 0;
+      p = next_line(p, end);
+    } else {
+      const char* seq = p;
+      p = next_line(p, end);
+      int64_t len = (p - seq) - (p > seq && p[-1] == '\n' ? 1 : 0);
+      if (cur >= 0) cur += len;  // ignore junk before the first header
+    }
+  }
+  if (cur > maxlen) maxlen = cur;
+  unmap(m);
+  *n_reads = count;
+  *max_len = maxlen;
+  return 0;
+}
+
+// Parse + encode a FASTA file. Multi-line sequences are concatenated, then
+// truncated/padded to read_len. Returns rows written, or -1 on open failure.
+int64_t fa_encode(const char* path, int8_t* out, int64_t max_reads,
+                  int32_t read_len, int32_t min_len_keep) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  const char* p = m.data;
+  const char* end = m.data + m.size;
+  int64_t r = 0;
+  int8_t* row = nullptr;
+  int64_t filled = -1;  // -1 = no open record
+  while (p < end && r < max_reads) {
+    if (*p == '>') {
+      if (filled >= 0) {  // close previous record
+        if (filled >= min_len_keep) {
+          if (filled < read_len) memset(row + filled, 4, read_len - filled);
+          ++r;
+        }
+      }
+      row = out + r * (int64_t)read_len;
+      filled = 0;
+      p = next_line(p, end);
+    } else {
+      const char* seq = p;
+      p = next_line(p, end);
+      int64_t len = (p - seq) - (p > seq && p[-1] == '\n' ? 1 : 0);
+      if (filled < 0) continue;  // junk before first header
+      for (int64_t i = 0; i < len && filled < read_len; ++i, ++filled)
+        row[filled] = kLut.v[(unsigned char)seq[i]];
+      if (filled >= read_len) {
+        // keep consuming but drop overflow (record truncated at read_len)
+        filled = read_len;
+      }
+    }
+  }
+  if (filled >= 0 && r < max_reads && filled >= min_len_keep) {
+    if (filled < read_len) memset(row + filled, 4, read_len - filled);
+    ++r;
+  }
+  unmap(m);
+  return r;
+}
+
+}  // extern "C"

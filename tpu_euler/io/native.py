@@ -1,0 +1,118 @@
+"""ctypes bindings for the native FASTA/FASTQ codec (native/fastx_codec.cpp).
+
+Builds the shared library on first use (g++ is baked into the image; pybind11 is
+not, hence ctypes). Every entry point has a pure-Python fallback, so the
+pipeline works even where a compiler is unavailable; gzip inputs always take
+the Python path (the codec mmaps raw bytes).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+log = logging.getLogger("tpu_euler")
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_SO = os.path.join(_NATIVE_DIR, "libfastx_codec.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+                os.path.join(_NATIVE_DIR, "fastx_codec.cpp")
+            ):
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "-s"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.fq_scan.restype = ctypes.c_int
+            lib.fq_scan.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.fq_encode.restype = ctypes.c_int64
+            lib.fq_encode.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int8,
+                ctypes.c_int32,
+            ]
+            lib.fa_scan.restype = ctypes.c_int
+            lib.fa_scan.argtypes = lib.fq_scan.argtypes
+            lib.fa_encode.restype = ctypes.c_int64
+            lib.fa_encode.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int32,
+            ]
+            _lib = lib
+        except Exception as e:
+            log.info("native fastx codec unavailable (%s); using Python parser", e)
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def encode_file_native(
+    path: str,
+    read_len: int = 0,
+    min_qual: int = 0,
+    min_len_keep: int = 1,
+) -> np.ndarray | None:
+    """Parse+encode a plain FASTA/FASTQ file into an [R, read_len] int8 matrix.
+
+    Returns None if the native codec can't handle this input (gz, load failure)
+    — caller falls back to the Python parser. read_len=0 = use the file's max.
+    """
+    lib = _load()
+    if lib is None or path.endswith(".gz"):
+        return None
+    stem = path
+    is_fq = stem.endswith((".fq", ".fastq"))
+    is_fa = stem.endswith((".fa", ".fasta", ".fna"))
+    if not (is_fq or is_fa):
+        return None
+    n = ctypes.c_int64()
+    mx = ctypes.c_int64()
+    scan = lib.fq_scan if is_fq else lib.fa_scan
+    if scan(path.encode(), ctypes.byref(n), ctypes.byref(mx)) != 0 or n.value == 0:
+        return None
+    rl = read_len or int(mx.value)
+    out = np.empty((n.value, rl), dtype=np.int8)
+    if is_fq:
+        r = lib.fq_encode(
+            path.encode(), out.ctypes.data, n.value, rl, min_qual, min_len_keep
+        )
+    else:
+        r = lib.fa_encode(path.encode(), out.ctypes.data, n.value, rl, min_len_keep)
+    if r < 0:
+        return None
+    return out[:r]
