@@ -19,6 +19,8 @@ def _add_assemble(sub):
     p.add_argument("-k", type=int, default=31, help="k-mer length (odd)")
     p.add_argument("-o", "--out", default="contigs.fa", help="output FASTA")
     p.add_argument("--min-count", type=int, default=1, help="k-mer frequency cutoff")
+    p.add_argument("--tip-rounds", type=int, default=0, help="tip-clipping rounds (0=off)")
+    p.add_argument("--tip-len", type=int, default=0, help="tip threshold in edges (0=2k)")
     p.add_argument(
         "--min-qual",
         type=int,
@@ -85,6 +87,8 @@ def _assemble_with_args(args, t0):
             min_count=args.min_count,
             read_len=max(args.read_len, args.k),
             spectrum_capacity=spec.limbs.shape[0],
+            tip_rounds=args.tip_rounds,
+            tip_len=args.tip_len,
         )
         t: dict = {}
         contigs, n_cut = spectrum_to_contigs(spec, cfg, t)
@@ -122,6 +126,8 @@ def _assemble_with_args(args, t0):
                 read_batch=args.read_batch,
                 read_len=codes.shape[1],
                 spectrum_capacity=cap,
+                tip_rounds=args.tip_rounds,
+                tip_len=args.tip_len,
             )
             t_parse = time.perf_counter() - t0
             t = {}
@@ -165,6 +171,8 @@ def _assemble_with_args(args, t0):
         read_len=read_len,
         spectrum_capacity=cap,
         mesh_shape=(args.mesh,) if args.mesh else (),
+        tip_rounds=args.tip_rounds,
+        tip_len=args.tip_len,
     )
     t_parse = time.perf_counter() - t0
 

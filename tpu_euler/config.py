@@ -47,6 +47,8 @@ class AssemblyConfig:
     bucket_bits: int = 6
     mesh_shape: tuple = ()
     scramble: bool = True  # hash-scramble keys before prefix bucketing
+    tip_rounds: int = 0  # iterative tip-clipping rounds (0 = off)
+    tip_len: int = 0  # tip threshold in edges (0 = 2k)
 
     def __post_init__(self):
         if self.k < 3 or self.k % 2 == 0:

@@ -25,9 +25,8 @@ from tpu_euler.dist.count_dist import (
     make_gather_spectrum,
 )
 from tpu_euler.dist.mesh import batch_sharding, make_mesh
-from tpu_euler.euler.extract import chains_to_contigs_device
 from tpu_euler.io.encode import encode_reads
-from tpu_euler.pipeline.assemble import AssemblyResult, make_graph_step
+from tpu_euler.pipeline.assemble import AssemblyResult, spectrum_to_contigs
 
 log = logging.getLogger("tpu_euler")
 
@@ -51,7 +50,6 @@ def assemble_reads_distributed(
 
     count_step = make_dist_count_step(cfg.k, n_dev, c_dest, mesh)
     gather_step = make_gather_spectrum(min(cfg.spectrum_capacity, n_dev * c_local), mesh)
-    graph_step = make_graph_step(cfg.k, cfg.min_count)
     sharding = batch_sharding(mesh)
 
     acc = empty_dist_spectrum(n_dev, c_local, cfg.nlimbs)
@@ -98,25 +96,18 @@ def assemble_reads_distributed(
     jax.block_until_ready(spec)
     t["gather"] = time.perf_counter() - t2
 
-    t3 = time.perf_counter()
-    g, chains, cut = graph_step(spec)
-    jax.block_until_ready(chains)
-    t["graph"] = time.perf_counter() - t3
-
-    t4 = time.perf_counter()
-    contigs = chains_to_contigs_device(g, chains, cfg.k)
-    t["extract"] = time.perf_counter() - t4
+    contigs, n_cut = spectrum_to_contigs(spec, cfg, t)
 
     log.info(
         "dist-assembled %d reads on %d devices -> %d distinct kmers -> %d contigs",
         n_reads,
         n_dev,
-        int(cut.n),
+        n_cut,
         len(contigs),
     )
     return AssemblyResult(
         contigs=contigs,
-        n_distinct_kmers=int(cut.n),
+        n_distinct_kmers=n_cut,
         n_kmers_counted=n_windows,
         n_reads=n_reads,
         stage_seconds=t,

@@ -149,9 +149,17 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
 def spectrum_to_contigs(
     acc: Spectrum, cfg: AssemblyConfig, t: dict | None = None
 ) -> tuple[set, int]:
-    """Cutoff + graph build + traversal + host emission. Returns (contigs, n_cut)."""
+    """Cutoff (+ tip clipping) + graph + traversal + emission. Returns (contigs, n_cut)."""
     t = t if t is not None else {}
     graph_step = make_graph_step(cfg.k, cfg.min_count)
+    if cfg.tip_rounds:
+        from tpu_euler.euler.clean import clip_tips
+
+        t1 = time.perf_counter()
+        acc = apply_cutoff(acc, cfg.min_count)
+        acc, n_clipped = clip_tips(acc, cfg.k, cfg.tip_rounds, cfg.tip_len)
+        t["tips"] = time.perf_counter() - t1
+        log.info("tip clipping removed %d k-mers", n_clipped)
     t2 = time.perf_counter()
     g, chains, cut = graph_step(acc)
     jax.block_until_ready(chains)

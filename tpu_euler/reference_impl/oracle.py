@@ -53,8 +53,20 @@ def count_canonical_kmers(reads: list[str], k: int) -> Counter:
     return counts
 
 
-def assemble_oracle(reads: list[str], k: int, min_count: int = 1) -> set[str]:
-    """Assemble reads into the canonical contig set. See module docstring."""
+def assemble_oracle(
+    reads: list[str],
+    k: int,
+    min_count: int = 1,
+    tip_rounds: int = 0,
+    tip_len: int = 0,
+) -> set[str]:
+    """Assemble reads into the canonical contig set. See module docstring.
+
+    tip_rounds > 0 enables iterative tip clipping: a unitig chain is a tip iff
+    its edge count is < tip_len (default 2k) and EXACTLY one of its ends is
+    dead (start node with in-degree 0, or end node with out-degree 0). Tips'
+    canonical k-mers are removed (both orientations) and chains recomputed.
+    """
     if k % 2 == 0 or k < 3:
         raise ValueError("k must be odd and >= 3")
     counts = count_canonical_kmers(reads, k)
@@ -64,7 +76,47 @@ def assemble_oracle(reads: list[str], k: int, min_count: int = 1) -> set[str]:
             edges.add(km)
             edges.add(rc(km))
 
+    for _ in range(tip_rounds):
+        tips = find_tip_kmers(edges, k, tip_len or 2 * k)
+        if not tips:
+            break
+        edges -= tips
+
     return contigs_from_edges(edges, k)
+
+
+def find_tip_kmers(edges: set[str], k: int, tip_len: int) -> set[str]:
+    """k-mers (both orientations) of all tip chains in the doubled graph."""
+    out_edges: dict[str, list[str]] = defaultdict(list)
+    in_deg: Counter = Counter()
+    out_deg: Counter = Counter()
+    for e in edges:
+        out_edges[e[:-1]].append(e)
+        out_deg[e[:-1]] += 1
+        in_deg[e[1:]] += 1
+
+    def simple(node: str) -> bool:
+        return in_deg[node] == 1 and out_deg[node] == 1
+
+    def succ(e: str):
+        h = e[1:]
+        return out_edges[h][0] if simple(h) else None
+
+    tips: set[str] = set()
+    starts = [e for e in edges if not simple(e[:-1])]
+    for s0 in starts:
+        chain = [s0]
+        e = succ(s0)
+        while e is not None and e != s0:
+            chain.append(e)
+            e = succ(e)
+        dead_start = in_deg[chain[0][:-1]] == 0
+        dead_end = out_deg[chain[-1][1:]] == 0
+        if len(chain) < tip_len and (dead_start != dead_end):
+            for e in chain:
+                tips.add(e)
+                tips.add(rc(e))
+    return tips
 
 
 def contigs_from_edges(edges: set[str], k: int) -> set[str]:
