@@ -1,0 +1,59 @@
+"""exchange_gather: sharded request/reply row fetch == replicated gather."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from tpu_euler.dist.exchange import exchange_gather
+from tpu_euler.dist.mesh import AXIS, make_mesh
+
+
+@pytest.mark.parametrize("n_dev,el_cap,width", [(4, 64, 3), (8, 32, 1)])
+def test_exchange_gather_matches_global(n_dev, el_cap, width):
+    mesh = make_mesh(n_dev)
+    E = n_dev * el_cap
+    rng = np.random.default_rng(7)
+    state = rng.integers(0, 2**32, (E, width), dtype=np.uint32)
+    gids = rng.integers(-1, E, (E,), dtype=np.int32)  # includes -1s
+
+    def f(state_l, gids_l):
+        rows, dropped = exchange_gather(
+            state_l, gids_l, n_dev, el_cap, c_req=el_cap
+        )
+        return rows, jax.lax.psum(dropped, AXIS)
+
+    g = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=(P(AXIS), P())
+        )
+    )
+    rows, dropped = g(jnp.asarray(state), jnp.asarray(gids))
+    rows = np.asarray(rows)
+    assert int(np.asarray(dropped)[()] if np.asarray(dropped).shape == () else np.asarray(dropped)[0]) == 0
+    expected = np.where(
+        (gids >= 0)[:, None], state[np.clip(gids, 0, E - 1)], np.uint32(0xFFFFFFFF)
+    )
+    np.testing.assert_array_equal(rows, expected)
+
+
+def test_exchange_gather_overflow_detected():
+    n_dev, el_cap = 4, 32
+    mesh = make_mesh(n_dev)
+    E = n_dev * el_cap
+    state = np.zeros((E, 1), dtype=np.uint32)
+    gids = np.zeros((E,), dtype=np.int32)  # every request targets device 0
+
+    def f(state_l, gids_l):
+        rows, dropped = exchange_gather(state_l, gids_l, n_dev, el_cap, c_req=4)
+        return rows, jax.lax.psum(dropped, AXIS)
+
+    g = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=(P(AXIS), P())
+        )
+    )
+    _, dropped = g(jnp.asarray(state), jnp.asarray(gids))
+    assert int(np.asarray(dropped).reshape(-1)[0]) > 0

@@ -36,6 +36,11 @@ def _add_assemble(sub):
         help="max distinct canonical k-mers (0 = auto from input size)",
     )
     p.add_argument("--mesh", type=int, default=0, help="devices for distributed count (0=single)")
+    p.add_argument(
+        "--shard-traversal",
+        action="store_true",
+        help="keep graph+traversal sharded across the mesh (configs 4-5 scale)",
+    )
     p.add_argument("--metrics-json", default="", help="write stage metrics to this path")
     p.add_argument(
         "--save-spectrum", default="", help="checkpoint counted k-mer spectrum (.npz)"
@@ -179,7 +184,9 @@ def _assemble_with_args(args, t0):
     if args.mesh:
         from tpu_euler.dist.pipeline import assemble_reads_distributed
 
-        result = assemble_reads_distributed(reads, cfg, n_devices=args.mesh)
+        result = assemble_reads_distributed(
+            reads, cfg, n_devices=args.mesh, shard_traversal=args.shard_traversal
+        )
         return result, t_parse
 
     t = {}

@@ -36,8 +36,16 @@ def assemble_reads_distributed(
     cfg: AssemblyConfig,
     n_devices: int | None = None,
     dest_capacity_factor: float = 2.0,
+    shard_traversal: bool = False,
 ) -> AssemblyResult:
-    """Data-parallel assembly over a 1-D device mesh."""
+    """Data-parallel assembly over a 1-D device mesh.
+
+    shard_traversal=True keeps the graph and every traversal array sharded at
+    O(E/n_dev) per device (SPEC configs 4-5: prefix-partitioned graph with
+    collective pointer jumping — see dist/traverse_dist.py); False gathers the
+    post-cutoff spectrum and traverses replicated (cheapest at bacterial
+    scale). Contig sets are identical either way.
+    """
     mesh = make_mesh(n_devices)
     n_dev = mesh.devices.size
     t = {"encode": 0.0, "count": 0.0, "gather": 0.0, "graph": 0.0, "extract": 0.0}
@@ -91,12 +99,37 @@ def assemble_reads_distributed(
             f"AssemblyConfig.spectrum_capacity"
         )
 
-    t2 = time.perf_counter()
-    spec = gather_step(acc)
-    jax.block_until_ready(spec)
-    t["gather"] = time.perf_counter() - t2
+    if shard_traversal:
+        from tpu_euler.dist.traverse_dist import (
+            make_dist_chains_step,
+            make_dist_cutoff_step,
+            shard_chains_to_contigs,
+        )
 
-    contigs, n_cut = spectrum_to_contigs(spec, cfg, t)
+        t2 = time.perf_counter()
+        cut_step = make_dist_cutoff_step(cfg.min_count, mesh)
+        cl, cc, cn = cut_step(acc.limbs, acc.counts, acc.n)
+        chains_step = make_dist_chains_step(cfg.k, n_dev, c_local, mesh)
+        sc = chains_step(cl, cc, cn)
+        jax.block_until_ready(sc)
+        t["graph"] = time.perf_counter() - t2
+        sdrop = int(np.asarray(jax.device_get(sc.dropped)).sum())
+        if sdrop:
+            raise RuntimeError(
+                f"{sdrop} records dropped in sharded-traversal slabs: raise "
+                f"slab_factor (owner imbalance)"
+            )
+        t3 = time.perf_counter()
+        contigs = shard_chains_to_contigs(sc, cfg.k)
+        t["extract"] = time.perf_counter() - t3
+        n_cut = int(np.asarray(jax.device_get(cn)).sum())
+    else:
+        t2 = time.perf_counter()
+        spec = gather_step(acc)
+        jax.block_until_ready(spec)
+        t["gather"] = time.perf_counter() - t2
+
+        contigs, n_cut = spectrum_to_contigs(spec, cfg, t)
 
     log.info(
         "dist-assembled %d reads on %d devices -> %d distinct kmers -> %d contigs",

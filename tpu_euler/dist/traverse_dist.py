@@ -1,0 +1,381 @@
+"""Fully sharded graph construction + unitig traversal (SPEC configs 4-5).
+
+The spectrum stays sharded by canonical-k-mer hash owner after counting and
+cutoff; every traversal array lives at O(E / n_dev) per device:
+
+1. **Successor assignment by node-record exchange** (the sharded R6/R7): each
+   local edge emits two records — (tail-key, OUT, gid, lastbase) and
+   (head-key, IN, gid, lastbase) — routed to the node-key's hash owner by
+   all_to_all slabs. The owner sorts its records by key (out-records first in
+   each group), computes in/out-degrees with cumsum-diff counting, and replies
+   along the same slab positions: IN-records of simple nodes get (succ gid,
+   succ lastbase); OUT-records get a tail-is-simple flag (= "you have a
+   predecessor").
+2. **Doubling over shards**: the fused cycle-detect + min-transition loop and
+   Wyllie ranking run exactly as on one device (euler/unitigs.py), with the
+   packed-state row gather replaced by ``exchange_gather`` over global edge
+   ids (log2(E) rounds of request/reply all_to_alls over ICI/DCN).
+3. **Cycle cutting** is local (each edge knows its transition key and the
+   cycle min); the new chain-start flags are pushed to cut edges' successors
+   with ``exchange_push``.
+4. **Positions**: a second Wyllie pass over *predecessor* pointers (returned
+   by the same node-record exchange) gives each edge its distance from the
+   chain start directly — pointer fetches stay hash-balanced, unlike pulling a
+   per-chain length from the single chain-owner device.
+
+The result is per-edge (chain gid, pos, lastbase) on each shard; host
+assembly concatenates per-shard contig fragments (O(E/n) per host). All slab
+overflows are counted and psum'd so imbalance fails loudly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpu_euler.dist.exchange import exchange_gather, exchange_push
+from tpu_euler.dist.mesh import AXIS
+from tpu_euler.kmer import keys
+from tpu_euler.kmer.count import segment_sums_sorted
+
+_SENT = jnp.uint32(0xFFFFFFFF)
+
+
+class ShardChains(NamedTuple):
+    """Per-shard traversal output (global shapes [n_dev * el_cap, ...])."""
+
+    edge_limbs: jax.Array  # [N, L] uint32 local edge k-mers
+    valid: jax.Array  # [N] bool
+    chain: jax.Array  # [N] int32 global chain id (end-edge gid)
+    pos: jax.Array  # [N] int32 position from chain start
+    is_start: jax.Array  # [N] bool
+    dropped: jax.Array  # [n_dev] int32 slab drops (must be 0)
+
+
+def _log2_ceil(n: int) -> int:
+    return max(1, (n - 1).bit_length())
+
+
+def _node_record_exchange(edge_limbs, valid, k, n_dev, el_cap, c_node):
+    """Phase 1: distributed successor assignment. Returns
+    (succ_gid [el_cap] i32, succ_lastb [el_cap] u32, has_pred [el_cap] bool,
+    n_dropped)."""
+    L = edge_limbs.shape[1]
+    my = jax.lax.axis_index(AXIS).astype(jnp.int32)
+    eid = jnp.arange(el_cap, dtype=jnp.int32)
+    gid = my * el_cap + eid
+
+    pre = keys.prefix(edge_limbs, k)
+    suf = keys.suffix(edge_limbs, k)
+    lastb = keys.last_base(edge_limbs).astype(jnp.uint32)
+
+    # records: first el_cap = OUT (key=tail/prefix), second el_cap = IN (head/suffix)
+    rkeys = jnp.concatenate([pre, suf], axis=0)  # [2C, L]
+    r_isout = jnp.concatenate(
+        [jnp.ones((el_cap,), jnp.uint32), jnp.zeros((el_cap,), jnp.uint32)]
+    )
+    r_gid = jnp.concatenate([gid, gid])
+    r_lastb = jnp.concatenate([lastb, lastb])
+    r_valid = jnp.concatenate([valid, valid])
+    M = 2 * el_cap
+
+    owner = (keys.bucket_hash(rkeys) % jnp.uint32(n_dev)).astype(jnp.uint32)
+    owner = jnp.where(r_valid, owner, n_dev)
+    slot = jnp.arange(M, dtype=jnp.int32)
+    sortout = jax.lax.sort(
+        [owner, slot]
+        + [rkeys[:, j] for j in range(L)]
+        + [r_isout, r_gid, r_lastb],
+        num_keys=1,
+        is_stable=True,
+    )
+    so, sslot = sortout[0].astype(jnp.int32), sortout[1]
+    skeys = jnp.stack(sortout[2 : 2 + L], axis=-1)
+    sisout, sgid, slastb = sortout[2 + L], sortout[3 + L], sortout[4 + L]
+    idx = jnp.arange(M, dtype=jnp.int32)
+    seg_start = jnp.full((n_dev + 1,), M, jnp.int32).at[so].min(idx)
+    pos = idx - seg_start[jnp.clip(so, 0, n_dev)]
+    ok = (so < n_dev) & (pos < c_node)
+    n_drop1 = jnp.sum((so < n_dev) & ~ok)
+    slab_pos = jnp.where(ok, so * c_node + pos, n_dev * c_node)
+
+    def to_slab(x, fill=0):
+        base = jnp.full((n_dev * c_node,) + x.shape[1:], fill, x.dtype)
+        return base.at[slab_pos].set(x, mode="drop")
+
+    slab = jnp.concatenate(
+        [
+            to_slab(skeys),
+            to_slab(sisout)[:, None],
+            to_slab(sgid.astype(jnp.int32).astype(jnp.uint32), fill=_SENT)[:, None],
+            to_slab(slastb)[:, None],
+        ],
+        axis=1,
+    )  # [n*c_node, L+3]
+    recv = jax.lax.all_to_all(slab, AXIS, split_axis=0, concat_axis=0, tiled=True)
+
+    # --- serve: group by node key, compute degrees, pair in->out ---
+    Mr = recv.shape[0]
+    g_keys = recv[:, :L]
+    g_isout = recv[:, L]
+    g_gid = recv[:, L + 1]
+    g_lastb = recv[:, L + 2]
+    g_valid = g_gid != _SENT
+    inv = (~g_valid).astype(jnp.uint32)
+    rid = jnp.arange(Mr, dtype=jnp.int32)
+    out2 = jax.lax.sort(
+        [inv]
+        + [g_keys[:, j] for j in range(L)]
+        + [jnp.uint32(1) - g_isout, rid, g_gid, g_lastb],
+        num_keys=L + 2,
+        is_stable=True,
+    )
+    t_inv = out2[0]
+    t_keys = jnp.stack(out2[1 : 1 + L], axis=-1)
+    t_in_last = out2[1 + L]  # 0 for out-records, 1 for in-records
+    t_rid, t_gid, t_lastb = out2[2 + L], out2[3 + L], out2[4 + L]
+    t_valid = t_inv == 0
+    prev = jnp.roll(t_keys, 1, axis=0)
+    is_new = (~keys.key_eq(t_keys, prev)).at[0].set(True) & t_valid
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    w_out = jnp.where(t_valid & (t_in_last == 0), 1, 0).astype(jnp.int32)
+    w_in = jnp.where(t_valid & (t_in_last == 1), 1, 0).astype(jnp.int32)
+    outdeg = segment_sums_sorted(is_new, seg, w_out, Mr)
+    indeg = segment_sums_sorted(is_new, seg, w_in, Mr)
+    gstart = jnp.full((Mr + 1,), Mr, jnp.int32).at[
+        jnp.where(is_new, seg, Mr)
+    ].set(jnp.arange(Mr, dtype=jnp.int32), mode="drop")
+    segc = jnp.clip(seg, 0, Mr - 1)
+    simple = (outdeg[segc] == 1) & (indeg[segc] == 1) & t_valid
+    first = jnp.clip(gstart[segc], 0, Mr - 1)
+    # in-record of a simple node: partner out-record is the group's first row
+    is_inrec = t_valid & (t_in_last == 1)
+    succ_gid_v = jnp.where(is_inrec & simple, t_gid[first], _SENT)
+    succ_lb_v = jnp.where(is_inrec & simple, t_lastb[first], 0)
+    # out-record of a simple node: this edge has a predecessor — the group's
+    # unique in-record, which sorts immediately after the unique out-record
+    is_outrec = t_valid & (t_in_last == 0)
+    second = jnp.clip(first + 1, 0, Mr - 1)
+    haspred_v = jnp.where(is_outrec & simple, jnp.uint32(1), 0)
+    pred_gid_v = jnp.where(is_outrec & simple, t_gid[second], _SENT)
+    # route reply values back to slab order
+    reply = jnp.zeros((Mr, 4), jnp.uint32)
+    reply = reply.at[t_rid].set(
+        jnp.stack([succ_gid_v, succ_lb_v, haspred_v, pred_gid_v], axis=1)
+    )
+    reply_back = jax.lax.all_to_all(
+        reply, AXIS, split_axis=0, concat_axis=0, tiled=True
+    )
+
+    # unpack: my request at slab_pos p gets reply_back[p]; scatter to sorted slot
+    got = reply_back[jnp.clip(slab_pos, 0, n_dev * c_node - 1)]
+    got = jnp.where(
+        ok[:, None], got, jnp.asarray([_SENT, 0, 0, _SENT], jnp.uint32)[None, :]
+    )
+    per_record = jnp.zeros((M, 4), jnp.uint32).at[sslot].set(got)
+    out_replies = per_record[:el_cap]  # OUT records -> has_pred flag + pred gid
+    in_replies = per_record[el_cap:]  # IN records -> succ info
+    succ_gid = jnp.where(
+        valid & (in_replies[:, 0] != _SENT), in_replies[:, 0].astype(jnp.int32), -1
+    )
+    succ_lastb = in_replies[:, 1]
+    has_pred = valid & (out_replies[:, 2] == 1)
+    pred_gid = jnp.where(
+        valid & (out_replies[:, 3] != _SENT), out_replies[:, 3].astype(jnp.int32), -1
+    )
+    return succ_gid, succ_lastb, has_pred, pred_gid, n_drop1
+
+
+def make_dist_chains_step(
+    k: int,
+    n_dev: int,
+    c_local: int,
+    mesh: Mesh,
+    slab_factor: float = 2.0,
+):
+    """Build the jit'd shard_map step: sharded spectrum -> ShardChains."""
+    el_cap = 2 * c_local
+    L = keys.nlimbs(k)
+    E_global = n_dev * el_cap
+    rounds = _log2_ceil(E_global) + 1
+    c_node = int(slab_factor * 4 * c_local / n_dev) + 256
+    c_req = int(slab_factor * el_cap / n_dev) + 256
+
+    def local_step(spec_limbs, spec_counts, spec_n):
+        n = spec_n[0]
+        my = jax.lax.axis_index(AXIS).astype(jnp.int32)
+        eid = jnp.arange(el_cap, dtype=jnp.int32)
+        gid = my * el_cap + eid
+        iota_c = jnp.arange(c_local, dtype=jnp.int32)
+        row_valid = iota_c < n
+        edge_limbs = jnp.concatenate(
+            [spec_limbs, keys.revcomp(spec_limbs, k)], axis=0
+        )
+        valid = jnp.concatenate([row_valid, row_valid])
+
+        succ, succ_lastb, has_pred, pred, d1 = _node_record_exchange(
+            edge_limbs, valid, k, n_dev, el_cap, c_node
+        )
+
+        # transition keys (for cycle cutting)
+        t = keys.append_base(edge_limbs, succ_lastb, k)
+        t, _ = keys.canonical(t, k + 1)
+        t = jnp.where((succ >= 0)[:, None], t, _SENT)
+
+        # fused cycle-detect + min-transition doubling over shards
+        p0 = jnp.where(succ >= 0, succ.astype(jnp.uint32), _SENT)
+        state = jnp.concatenate([p0[:, None], t], axis=1)
+        drops = d1
+
+        def detect_round(_, carry):
+            state, drops = carry
+            p = state[:, 0]
+            alive = p != _SENT
+            rows, dr = exchange_gather(
+                state,
+                jnp.where(alive, p.astype(jnp.int32), -1),
+                n_dev,
+                el_cap,
+                c_req,
+            )
+            p_new = jnp.where(alive, rows[:, 0], _SENT)
+            m_nxt = jnp.where(alive[:, None], rows[:, 1:], _SENT)
+            take = keys.key_less(m_nxt, state[:, 1:], k + 1)
+            m_new = jnp.where(take[:, None], m_nxt, state[:, 1:])
+            return jnp.concatenate([p_new[:, None], m_new], axis=1), drops + dr
+
+        state, drops = jax.lax.fori_loop(0, rounds, detect_round, (state, drops))
+        on_cycle = (state[:, 0] != _SENT) & valid
+        is_cut = on_cycle & keys.key_eq(t, state[:, 1:])
+        succ_cut = jnp.where(is_cut, -1, succ)
+
+        # push start flags to cut edges' successors
+        started, dp = exchange_push(
+            jnp.ones((el_cap, 1), jnp.uint32),
+            jnp.where(is_cut, succ, -1),
+            n_dev,
+            el_cap,
+            c_req,
+        )
+        drops = drops + dp
+        is_start = valid & (~has_pred | (started[:, 0] == 1))
+        pred_cut = jnp.where(is_start, -1, pred)
+
+        def wyllie(ptr, drops):
+            """Doubling over shards: returns (steps-to-terminal d, terminal gid).
+
+            Dead rows fetch nothing (their q is already final) — critical for
+            slab balance: self-requests would all target one device.
+            """
+            p0 = jnp.where(ptr >= 0, ptr.astype(jnp.uint32), _SENT)
+            d0 = jnp.where(ptr >= 0, 1, 0).astype(jnp.uint32)
+            q0 = jnp.where(ptr >= 0, ptr.astype(jnp.uint32), gid.astype(jnp.uint32))
+            S = jnp.stack([p0, d0, q0], axis=1)
+
+            def rank_round(_, carry):
+                S, drops = carry
+                p = S[:, 0]
+                alive = p != _SENT
+                fetch = jnp.where(alive, p.astype(jnp.int32), -1)
+                rows, dr = exchange_gather(S, fetch, n_dev, el_cap, c_req)
+                p_new = jnp.where(alive, rows[:, 0], _SENT)
+                d_new = S[:, 1] + jnp.where(alive, rows[:, 1], 0)
+                q_new = jnp.where(alive, rows[:, 2], S[:, 2])
+                return jnp.stack([p_new, d_new, q_new], axis=1), drops + dr
+
+            S, drops = jax.lax.fori_loop(0, rounds, rank_round, (S, drops))
+            return S[:, 1].astype(jnp.int32), S[:, 2].astype(jnp.int32), drops
+
+        # forward pass -> chain id (end-edge gid); backward pass -> position
+        _, end_gid, drops = wyllie(succ_cut, drops)
+        pos, _, drops = wyllie(pred_cut, drops)
+
+        return ShardChains(
+            edge_limbs=edge_limbs,
+            valid=valid,
+            chain=jnp.where(valid, end_gid, -1),
+            pos=jnp.where(valid, pos, 0),
+            is_start=is_start,
+            dropped=drops[None],
+        )
+
+    out_specs = ShardChains(
+        edge_limbs=P(AXIS),
+        valid=P(AXIS),
+        chain=P(AXIS),
+        pos=P(AXIS),
+        is_start=P(AXIS),
+        dropped=P(AXIS),
+    )
+    return jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=out_specs,
+        )
+    )
+
+
+def make_dist_cutoff_step(min_count: int, mesh: Mesh):
+    """Per-shard frequency cutoff (counts are already exact global counts)."""
+    from tpu_euler.kmer.count import Spectrum, apply_cutoff
+
+    def local(limbs, counts, n):
+        spec = apply_cutoff(Spectrum(limbs, counts, n[0]), min_count)
+        return spec.limbs, spec.counts, spec.n[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        )
+    )
+
+
+def shard_chains_to_contigs(sc: ShardChains, k: int) -> set[bytes]:
+    """Host assembly of sharded chain fragments into canonical contigs.
+
+    Each host only downloads its own shards in a true multi-host run
+    (O(E/n_hosts)); here the addressable arrays cover all shards.
+    """
+    import numpy as np
+
+    from tpu_euler.euler.extract import decode_bases_np, rc_bytes
+
+    _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+    valid = np.asarray(sc.valid)
+    idx = np.flatnonzero(valid)
+    if idx.size == 0:
+        return set()
+    chain = np.asarray(sc.chain)[idx]
+    pos = np.asarray(sc.pos)[idx]
+    limbs = np.asarray(sc.edge_limbs)[idx]
+    last = _BASES[(limbs[:, -1] & 3).astype(np.int64)]
+
+    uchain, dense = np.unique(chain, return_inverse=True)
+    n_chains = uchain.size
+    chain_len = np.zeros(n_chains, dtype=np.int64)
+    np.maximum.at(chain_len, dense, pos.astype(np.int64) + 1)
+    out_len = chain_len + (k - 1)
+    off = np.zeros(n_chains + 1, dtype=np.int64)
+    np.cumsum(out_len, out=off[1:])
+    buf = np.empty(off[-1], dtype=np.uint8)
+    buf[off[dense] + (k - 1) + pos] = last
+    starts = pos == 0
+    prefixes = decode_bases_np(limbs[starts], k - 1, k)
+    buf[off[dense[starts]][:, None] + np.arange(k - 1)[None, :]] = prefixes
+
+    contigs: set[bytes] = set()
+    for c in range(n_chains):
+        seq = buf[off[c] : off[c + 1]]
+        fwd = seq.tobytes()
+        rev = rc_bytes(seq).tobytes()
+        contigs.add(fwd if fwd <= rev else rev)
+    return contigs
