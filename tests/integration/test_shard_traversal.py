@@ -50,3 +50,24 @@ def test_sharded_with_cutoff_and_repeats():
     got = assemble_reads_distributed(reads, cfg, n_devices=8, shard_traversal=True)
     oracle = assemble_oracle(reads, cfg.k, min_count=4)
     assert canonical_contig_set(got.contig_strings) == oracle
+
+
+def test_sharded_k41_three_limb_keys():
+    """SPEC config 5 shape: k=41 (3 uint32 limbs) through the sharded path."""
+    genome = random_genome(1500, seed=821)
+    reads = simulate_reads(genome, read_len=120, coverage=18, seed=822, circular=True)
+    cfg = AssemblyConfig(k=41, read_batch=64, read_len=120, spectrum_capacity=1 << 13)
+    got = assemble_reads_distributed(reads, cfg, n_devices=8, shard_traversal=True)
+    assert canonical_contig_set(got.contig_strings) == assemble_oracle(reads, 41)
+
+
+def test_sharded_paired_end_reads():
+    """SPEC config 4 shape: paired-end reads, graph sharded."""
+    genome = random_genome(2500, seed=831)
+    reads = simulate_reads(
+        genome, read_len=100, coverage=25, seed=832, circular=True,
+        paired=True, insert_size=280,
+    )
+    cfg = AssemblyConfig(k=31, read_batch=128, read_len=100, spectrum_capacity=1 << 15)
+    got = assemble_reads_distributed(reads, cfg, n_devices=4, shard_traversal=True)
+    assert canonical_contig_set(got.contig_strings) == assemble_oracle(reads, 31)

@@ -32,3 +32,21 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(AXIS))
+
+
+def fetch_global(x):
+    """Bring a (possibly cross-process sharded) array fully to this host.
+
+    Single-process: plain device_get. Multi-process (true multi-host runs):
+    process_allgather over the non-addressable shards.
+    """
+    import numpy as np
+
+    import jax
+
+    try:
+        return np.asarray(jax.device_get(x))
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))

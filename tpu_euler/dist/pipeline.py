@@ -1,11 +1,11 @@
-"""Distributed assembly pipeline: data-parallel reads -> sharded spectrum ->
-replicated graph/traversal (SPEC D1-D6; SURVEY.md section 7 step 8).
+"""Distributed assembly pipeline (SPEC D1-D6; SURVEY.md section 7 step 8).
 
-Round-1 scope: the k-mer spectrum (the memory- and FLOP-dominant stage) is fully
-sharded via hash-bucket all_to_all; the surviving distinct k-mers (orders of
-magnitude smaller after cutoff) are sort-merged into a replicated spectrum for
-graph build + traversal. Fully sharded traversal (prefix-partitioned pointer
-jumping with psum convergence) is the documented next step (SCALING.md).
+The k-mer spectrum is always sharded via hash-bucket all_to_all. Traversal has
+two modes: replicated (gather the post-cutoff spectrum — cheapest at bacterial
+scale) and fully sharded (dist/traverse_dist.py — O(E/n_dev) per device for
+pod-slice scale, SPEC configs 4-5). Works single-process (virtual CPU mesh or
+TPU slice) and true multi-process (jax.distributed; see
+scripts/multiprocess_test.py) — host reads go through fetch_global.
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ from tpu_euler.dist.count_dist import (
     make_dist_count_step,
     make_gather_spectrum,
 )
-from tpu_euler.dist.mesh import batch_sharding, make_mesh
+from tpu_euler.dist.mesh import batch_sharding, fetch_global, make_mesh
 from tpu_euler.io.encode import encode_reads
 from tpu_euler.pipeline.assemble import AssemblyResult, spectrum_to_contigs
 
@@ -81,18 +81,18 @@ def assemble_reads_distributed(
         codes = jax.device_put(codes, sharding)
         t1 = time.perf_counter()
         acc, nw = count_step(codes, acc)
-        n_windows += int(np.asarray(jax.device_get(nw))[0])
+        n_windows += int(fetch_global(nw)[0])
         t["encode"] += t1 - t0
         t["count"] += time.perf_counter() - t1
 
     jax.block_until_ready(acc)
-    dropped = int(np.asarray(jax.device_get(acc.dropped)).sum())
+    dropped = int(fetch_global(acc.dropped).sum())
     if dropped:
         raise RuntimeError(
             f"{dropped} k-mers dropped in all_to_all exchange: raise "
             f"dest_capacity_factor (hash imbalance) or lower read_batch"
         )
-    per_shard = np.asarray(jax.device_get(acc.n))
+    per_shard = fetch_global(acc.n)
     if int(per_shard.max()) >= c_local:
         raise RuntimeError(
             f"a spectrum shard overflowed its capacity {c_local}: raise "
@@ -113,7 +113,7 @@ def assemble_reads_distributed(
         sc = chains_step(cl, cc, cn)
         jax.block_until_ready(sc)
         t["graph"] = time.perf_counter() - t2
-        sdrop = int(np.asarray(jax.device_get(sc.dropped)).sum())
+        sdrop = int(fetch_global(sc.dropped).sum())
         if sdrop:
             raise RuntimeError(
                 f"{sdrop} records dropped in sharded-traversal slabs: raise "
@@ -122,7 +122,7 @@ def assemble_reads_distributed(
         t3 = time.perf_counter()
         contigs = shard_chains_to_contigs(sc, cfg.k)
         t["extract"] = time.perf_counter() - t3
-        n_cut = int(np.asarray(jax.device_get(cn)).sum())
+        n_cut = int(fetch_global(cn).sum())
     else:
         t2 = time.perf_counter()
         spec = gather_step(acc)

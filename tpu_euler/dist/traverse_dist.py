@@ -347,16 +347,17 @@ def shard_chains_to_contigs(sc: ShardChains, k: int) -> set[bytes]:
     """
     import numpy as np
 
+    from tpu_euler.dist.mesh import fetch_global
     from tpu_euler.euler.extract import decode_bases_np, rc_bytes
 
     _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
-    valid = np.asarray(sc.valid)
+    valid = fetch_global(sc.valid)
     idx = np.flatnonzero(valid)
     if idx.size == 0:
         return set()
-    chain = np.asarray(sc.chain)[idx]
-    pos = np.asarray(sc.pos)[idx]
-    limbs = np.asarray(sc.edge_limbs)[idx]
+    chain = fetch_global(sc.chain)[idx]
+    pos = fetch_global(sc.pos)[idx]
+    limbs = fetch_global(sc.edge_limbs)[idx]
     last = _BASES[(limbs[:, -1] & 3).astype(np.int64)]
 
     uchain, dense = np.unique(chain, return_inverse=True)
