@@ -24,6 +24,9 @@ def setup_compilation_cache(path: str | None = None) -> None:
     """Enable JAX's persistent compilation cache (idempotent)."""
     path = path or os.environ.get("TPU_EULER_CACHE_DIR", _DEFAULT_CACHE)
     try:
+        # separate subdir per backend: CPU AOT artifacts are machine-feature
+        # sensitive and must not be shared with TPU entries
+        path = os.path.join(path, jax.default_backend())
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
