@@ -223,7 +223,11 @@ def _run_assemble(args) -> int:
         profiler_cm.__enter__()
 
     t0 = time.perf_counter()
-    result, t_parse = _assemble_with_args(args, t0)
+    try:
+        result, t_parse = _assemble_with_args(args, t0)
+    except FileNotFoundError as e:
+        print(f"error: cannot read input: {e}", file=sys.stderr)
+        return 1
     if result is None:
         return 1
     if profiler_cm is not None:

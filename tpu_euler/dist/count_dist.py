@@ -23,7 +23,6 @@ TPU pod slice (SURVEY.md section 4 multi-host strategy).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

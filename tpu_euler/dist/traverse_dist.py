@@ -30,7 +30,6 @@ overflows are counted and psum'd so imbalance fails loudly.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

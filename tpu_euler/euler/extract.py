@@ -27,7 +27,6 @@ import numpy as np
 
 from tpu_euler.euler.unitigs import UnitigChains
 from tpu_euler.graph.build import DeBruijnGraph
-from tpu_euler.kmer import keys
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 _RC_TABLE = np.zeros(256, dtype=np.uint8)

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from tpu_euler.euler.unitigs import UnitigChains, successor
+from tpu_euler.euler.unitigs import UnitigChains
 from tpu_euler.graph.build import DeBruijnGraph
 
 

@@ -24,13 +24,10 @@ from tpu_euler.euler.extract import chains_to_contigs_device
 from tpu_euler.euler.unitigs import UnitigChains, unitig_chains
 from tpu_euler.graph.build import DeBruijnGraph, build_graph
 from tpu_euler.io.encode import encode_reads
-from tpu_euler.kmer import keys
 from tpu_euler.kmer.count import (
     Spectrum,
     apply_cutoff,
-    count_batch,
     empty_spectrum,
-    merge_spectra,
     spectrum_overflowed,
 )
 from tpu_euler.kmer.extract import extract_canonical_kmers
