@@ -81,21 +81,33 @@ def _pair_successors(g: DeBruijnGraph) -> jax.Array:
 
 
 def _labels(succ: jax.Array, valid: jax.Array, rounds: int) -> tuple[jax.Array, jax.Array]:
-    """R8: chain labels. Cycle edges: min edge id on cycle. Path edges: E + end id."""
+    """R8: chain labels. Cycle edges: min edge id on cycle. Path edges: E + end id.
+
+    Packed-state doubling ([E,3] rows: pointer, running min, terminal label) —
+    one row gather per round, as in unitigs.wyllie_rank.
+    """
     E = succ.shape[0]
-    eid = jnp.arange(E, dtype=jnp.int32)
+    SENT = jnp.uint32(0xFFFFFFFF)
+    eid = jnp.arange(E, dtype=jnp.uint32)
+    p0 = jnp.where(succ >= 0, succ.astype(jnp.uint32), SENT)
+    q0 = jnp.where(succ >= 0, succ.astype(jnp.uint32), eid)
+    S0 = jnp.stack([p0, eid, q0], axis=1)
 
-    def round_fn(_, state):
-        p, m, q = state
-        m_nxt = jnp.where(p >= 0, m[jnp.clip(p, 0, E - 1)], m)
-        m = jnp.minimum(m, m_nxt)
-        q = q[q]
-        return _safe_gather(p, p), m, q
+    def round_fn(_, S):
+        p = S[:, 0]
+        alive = p != SENT
+        idx = jnp.where(alive, p, eid).astype(jnp.int32)
+        rows = S[idx]
+        p_new = jnp.where(alive, rows[:, 0], SENT)
+        m_new = jnp.minimum(S[:, 1], jnp.where(alive, rows[:, 1], SENT))
+        q_new = rows[:, 2]
+        return jnp.stack([p_new, m_new, q_new], axis=1)
 
-    q0 = jnp.where(succ >= 0, succ, eid)
-    p, m, q = jax.lax.fori_loop(0, rounds, round_fn, (succ, eid, q0))
-    on_cycle = (p >= 0) & valid
-    label = jnp.where(on_cycle, m, E + q)
+    S = jax.lax.fori_loop(0, rounds, round_fn, S0)
+    on_cycle = (S[:, 0] != SENT) & valid
+    label = jnp.where(
+        on_cycle, S[:, 1].astype(jnp.int32), E + S[:, 2].astype(jnp.int32)
+    )
     return jnp.where(valid, label, 2 * E), on_cycle
 
 
@@ -167,16 +179,10 @@ def eulerian_tour(g: DeBruijnGraph, max_rounds: int = 0) -> EulerTour:
     cut = jnp.where(succ >= 0, is_cyc_min[jnp.clip(succ, 0, E - 1)], False)
     succ_cut = jnp.where(cut & on_cycle, -1, succ)
 
-    # Wyllie ranking (same as unitigs)
-    d0 = jnp.where(succ_cut >= 0, 1, 0).astype(jnp.int32)
-    q0 = jnp.where(succ_cut >= 0, succ_cut, eid)
+    # Wyllie ranking (shared packed-state implementation)
+    from tpu_euler.euler.unitigs import wyllie_rank
 
-    def rank_round(_, state):
-        nxt, d, q = state
-        d = d + jnp.where(nxt >= 0, d[jnp.clip(nxt, 0, E - 1)], 0)
-        return _safe_gather(nxt, nxt), d, q[q]
-
-    _, d, end_edge = jax.lax.fori_loop(0, rounds, rank_round, (succ_cut, d0, q0))
+    d, end_edge = wyllie_rank(succ_cut, rounds)
 
     has_pred = jnp.zeros((E,), jnp.bool_).at[
         jnp.where(succ_cut >= 0, succ_cut, E)
