@@ -117,3 +117,15 @@ def test_cli_min_qual_masks_bad_bases(tmp_path, capsys):
     assert rc == 0
     got = canonical_contig_set(read_contigs(str(tmp_path / "q.fa")))
     assert got == assemble_oracle(reads, 21)
+
+
+def test_cli_tour(fastq, capsys):
+    path, reads, d = fastq
+    rc = main(["tour", path, "-k", "21", "-o", f"{d}/walks.fa"])
+    out = capsys.readouterr().out.strip().splitlines()
+    m = json.loads(out[-1])
+    assert rc == 0
+    assert m["every_edge_once"]
+    assert m["chains"] >= 2  # one per strand at minimum
+    walks = read_contigs(f"{d}/walks.fa")
+    assert walks and all(len(w) >= 21 for w in walks)

@@ -54,10 +54,24 @@ def _add_assemble(sub):
     p.add_argument("-v", "--verbose", action="store_true")
 
 
+def _add_tour(sub):
+    p = sub.add_parser(
+        "tour",
+        help="compute an Eulerian tour / path cover of the de Bruijn graph "
+        "(GPU-Euler R7-R9 machinery) and report circuit statistics",
+    )
+    p.add_argument("reads", help="FASTA/FASTQ file (.gz ok)")
+    p.add_argument("-k", type=int, default=31)
+    p.add_argument("--min-count", type=int, default=1)
+    p.add_argument("-o", "--out", default="", help="write tour walks as FASTA")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpu-euler")
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_assemble(sub)
+    _add_tour(sub)
     args = ap.parse_args(argv)
 
     logging.basicConfig(
@@ -67,7 +81,82 @@ def main(argv=None) -> int:
 
     if args.cmd == "assemble":
         return _run_assemble(args)
+    if args.cmd == "tour":
+        return _run_tour(args)
     return 2
+
+
+def _run_tour(args) -> int:
+    import numpy as np
+
+    from tpu_euler.config import AssemblyConfig
+    from tpu_euler.euler.tour import eulerian_tour
+    from tpu_euler.io.encode import encode_reads
+    from tpu_euler.io.fastx import read_fastx, write_fasta
+    from tpu_euler.kmer.count import apply_cutoff
+    from tpu_euler.pipeline.assemble import count_spectrum
+    from tpu_euler.graph.build import build_graph
+    from tpu_euler.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+    try:
+        reads = [seq for _, seq in read_fastx(args.reads) if len(seq) >= args.k]
+    except FileNotFoundError as e:
+        print(f"error: cannot read input: {e}", file=sys.stderr)
+        return 1
+    if not reads:
+        print(f"no reads of length >= k={args.k} found", file=sys.stderr)
+        return 1
+    read_len = max(len(r) for r in reads)
+    total_bases = sum(len(r) for r in reads)
+    cap = 1 << max(14, (2 * total_bases).bit_length() - 2)
+    cfg = AssemblyConfig(
+        k=args.k, min_count=args.min_count, read_len=read_len, spectrum_capacity=cap
+    )
+    t0 = time.perf_counter()
+    acc, _ = count_spectrum(encode_reads(reads, read_len), cfg)
+    g = build_graph(apply_cutoff(acc, cfg.min_count), cfg.k)
+    tour = eulerian_tour(g)
+
+    valid = np.asarray(tour.in_tour)
+    chain = np.asarray(tour.chain)[valid]
+    pos = np.asarray(tour.pos)[valid]
+    length = np.asarray(tour.length)[valid]
+    succ = np.asarray(tour.succ)[valid]
+    uchain, inv = np.unique(chain, return_inverse=True)
+    chain_lens = np.zeros(uchain.size, dtype=np.int64)
+    np.maximum.at(chain_lens, inv, length)
+    is_circuit = np.zeros(uchain.size, dtype=bool)  # closed = last edge had cut
+    metrics = {
+        "edges": int(valid.sum()),
+        "nodes": int(g.n_nodes),
+        "chains": int(tour.n_chains),
+        "longest_chain_edges": int(chain_lens.max(initial=0)),
+        "every_edge_once": bool(
+            len({(c, p) for c, p in zip(chain.tolist(), pos.tolist())})
+            == valid.sum()
+        ),
+        "wall_s": round(time.perf_counter() - t0, 3),
+    }
+    del is_circuit, succ
+    print(json.dumps(metrics))
+
+    if args.out:
+        from tpu_euler.euler.extract import decode_bases_np
+
+        limbs = np.asarray(g.edge_limbs)[valid]
+        _b = np.frombuffer(b"ACGT", dtype=np.uint8)
+        lastb = _b[(limbs[:, -1] & 3).astype(np.int64)]
+        order = np.lexsort((pos, chain))
+        walks = []
+        for cid in uchain:
+            edges = order[chain[order] == cid]
+            prefix = decode_bases_np(limbs[edges[0]][None, :], args.k - 1, args.k)
+            s = prefix.tobytes().decode() + "".join(chr(lastb[e]) for e in edges)
+            walks.append(s)
+        walks.sort(key=len, reverse=True)
+        write_fasta(args.out, walks, prefix="walk")
+    return 0
 
 
 def _assemble_with_args(args, t0):
