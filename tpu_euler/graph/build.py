@@ -41,7 +41,6 @@ class DeBruijnGraph(NamedTuple):
     indeg: jax.Array  # [2E] int32 distinct in-edges per node
     outdeg: jax.Array  # [2E] int32 distinct out-edges per node
     out_first: jax.Array  # [2E] int32 min edge id with tail==node (E if none)
-    node_limbs: jax.Array  # [2E, L] uint32 (k-1)-mer key per node id
 
     @property
     def edge_capacity(self) -> int:
@@ -70,12 +69,12 @@ def assign_node_ids(
 ):
     """Assign dense node ids to the distinct endpoint (k-1)-mers of all edges.
 
-    Returns (tail [E], head [E], n_nodes [], node_limbs [2E, L], outdeg [2E],
-    indeg [2E]). Node ids are ranks in the sorted order of distinct endpoint
-    keys, so they are deterministic and strand-pair-consistent regardless of
-    edge order. Degrees fall out of the same endpoint sort (prefix endpoints are
-    out-edges, suffix endpoints in-edges) via cumsum-diff segment counting —
-    no separate segment_sum passes.
+    Returns (tail [E], head [E], n_nodes [], outdeg [2E], indeg [2E]). Node
+    ids are ranks in the sorted order of distinct endpoint keys, so they are
+    deterministic and strand-pair-consistent regardless of edge order. Degrees
+    fall out of the same endpoint sort (prefix endpoints are out-edges, suffix
+    endpoints in-edges) via cumsum-diff segment counting — no separate
+    segment_sum passes.
     """
     from tpu_euler.kmer.count import segment_sums_sorted
 
@@ -94,15 +93,12 @@ def assign_node_ids(
     ids = jnp.zeros((2 * E,), jnp.int32).at[spos].set(
         jnp.where(sv, node_id, 2 * E - 1)
     )
-    # node key table: first occurrence of each distinct key
-    dest = jnp.where(is_new, node_id, 2 * E)
-    node_limbs = jnp.zeros_like(sl).at[dest].set(sl, mode="drop")
     # degrees: prefix endpoints (spos < E) are out-edges, suffixes in-edges
     w_out = jnp.where(sv & (spos < E), 1, 0).astype(jnp.int32)
     w_in = jnp.where(sv & (spos >= E), 1, 0).astype(jnp.int32)
     outdeg = segment_sums_sorted(is_new, node_id, w_out, 2 * E)
     indeg = segment_sums_sorted(is_new, node_id, w_in, 2 * E)
-    return ids[:E], ids[E:], n_nodes, node_limbs, outdeg, indeg
+    return ids[:E], ids[E:], n_nodes, outdeg, indeg
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -110,9 +106,7 @@ def build_graph(spec: Spectrum, k: int) -> DeBruijnGraph:
     """Full graph build from a (cutoff-filtered) canonical k-mer spectrum."""
     edge_limbs, edge_valid = doubled_edges(spec, k)
     E = edge_limbs.shape[0]
-    tail, head, n_nodes, node_limbs, outdeg, indeg = assign_node_ids(
-        edge_limbs, edge_valid, k
-    )
+    tail, head, n_nodes, outdeg, indeg = assign_node_ids(edge_limbs, edge_valid, k)
     one = jnp.where(edge_valid, 1, 0).astype(jnp.int32)
     tail_c = jnp.where(edge_valid, tail, 2 * E - 1)
     # min edge id per tail node (the unique out-edge where outdeg == 1)
@@ -132,5 +126,4 @@ def build_graph(spec: Spectrum, k: int) -> DeBruijnGraph:
         indeg=indeg,
         outdeg=outdeg,
         out_first=out_first,
-        node_limbs=node_limbs,
     )
