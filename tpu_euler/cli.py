@@ -195,48 +195,57 @@ def _assemble_with_args(args, t0):
         )
         return result, time.perf_counter() - t0
 
-    # Fast path: native C++ parse+encode straight into the code matrix
-    # (single-device only; the distributed pipeline shards read strings).
-    if not args.mesh:
-        from tpu_euler.io.native import encode_file_native
+    # Fast path: native C++ parse+encode straight into the code matrix.
+    from tpu_euler.io.native import encode_file_native
 
-        codes = encode_file_native(
-            args.reads,
-            read_len=args.read_len,
-            min_qual=args.min_qual,
-            min_len_keep=args.k,
+    codes = encode_file_native(
+        args.reads,
+        read_len=args.read_len,
+        min_qual=args.min_qual,
+        min_len_keep=args.k,
+    )
+    if codes is not None:
+        if codes.shape[0] == 0:
+            print(f"no reads of length >= k={args.k} found", file=sys.stderr)
+            return None, 0.0
+        total_bases = int((codes != 4).sum())
+        cap = args.spectrum_capacity or 1 << max(
+            14, (2 * total_bases).bit_length() - 2
         )
-        if codes is not None:
-            if codes.shape[0] == 0:
-                print(f"no reads of length >= k={args.k} found", file=sys.stderr)
-                return None, 0.0
-            total_bases = int((codes != 4).sum())
-            cap = args.spectrum_capacity or 1 << max(
-                14, (2 * total_bases).bit_length() - 2
-            )
-            cfg = AssemblyConfig(
-                k=args.k,
-                min_count=args.min_count,
-                read_batch=args.read_batch,
-                read_len=codes.shape[1],
-                spectrum_capacity=cap,
-                tip_rounds=args.tip_rounds,
-                tip_len=args.tip_len,
-            )
-            t_parse = time.perf_counter() - t0
-            t = {}
-            acc, n_windows = count_spectrum(codes, cfg, t)
-            if args.save_spectrum:
-                save_spectrum(args.save_spectrum, acc, cfg.k)
-            contigs, n_cut = spectrum_to_contigs(acc, cfg, t)
-            result = AssemblyResult(
-                contigs=contigs,
-                n_distinct_kmers=n_cut,
-                n_kmers_counted=n_windows,
-                n_reads=codes.shape[0],
-                stage_seconds=t,
+        cfg = AssemblyConfig(
+            k=args.k,
+            min_count=args.min_count,
+            read_batch=args.read_batch,
+            read_len=codes.shape[1],
+            spectrum_capacity=cap,
+            tip_rounds=args.tip_rounds,
+            tip_len=args.tip_len,
+        )
+        t_parse = time.perf_counter() - t0
+        if args.mesh:
+            from tpu_euler.dist.pipeline import assemble_reads_distributed
+
+            result = assemble_reads_distributed(
+                None,
+                cfg,
+                n_devices=args.mesh,
+                shard_traversal=args.shard_traversal,
+                codes=codes,
             )
             return result, t_parse
+        t = {}
+        acc, n_windows = count_spectrum(codes, cfg, t)
+        if args.save_spectrum:
+            save_spectrum(args.save_spectrum, acc, cfg.k)
+        contigs, n_cut = spectrum_to_contigs(acc, cfg, t)
+        result = AssemblyResult(
+            contigs=contigs,
+            n_distinct_kmers=n_cut,
+            n_kmers_counted=n_windows,
+            n_reads=codes.shape[0],
+            stage_seconds=t,
+        )
+        return result, t_parse
 
     quals = None
     stem = args.reads[:-3] if args.reads.endswith(".gz") else args.reads

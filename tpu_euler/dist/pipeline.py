@@ -31,11 +31,12 @@ log = logging.getLogger("tpu_euler")
 
 
 def assemble_reads_distributed(
-    reads: list[str],
+    reads: list[str] | None,
     cfg: AssemblyConfig,
     n_devices: int | None = None,
     dest_capacity_factor: float = 2.0,
     shard_traversal: bool = False,
+    codes=None,
 ) -> AssemblyResult:
     """Data-parallel assembly over a 1-D device mesh.
 
@@ -67,19 +68,22 @@ def assemble_reads_distributed(
     n_reads = 0
     n_windows = 0
     step_rows = rows * n_dev
-    for i in range(0, max(len(reads), 1), step_rows):
-        batch = reads[i : i + step_rows]
-        if not batch and n_reads:
-            break
-        n_reads += len(batch)
+    total = len(reads) if reads is not None else codes.shape[0]
+    for i in range(0, max(total, 1), step_rows):
         t0 = time.perf_counter()
-        codes = encode_reads(batch, cfg.read_len)
-        if codes.shape[0] < step_rows:
-            pad = np.full((step_rows - codes.shape[0], cfg.read_len), 4, np.int8)
-            codes = np.concatenate([codes, pad], axis=0)
-        codes = jax.device_put(codes, sharding)
+        if reads is not None:
+            batch = reads[i : i + step_rows]
+            n_reads += len(batch)
+            cbatch = encode_reads(batch, cfg.read_len)
+        else:
+            cbatch = codes[i : i + step_rows]
+            n_reads += cbatch.shape[0]
+        if cbatch.shape[0] < step_rows:
+            pad = np.full((step_rows - cbatch.shape[0], cfg.read_len), 4, np.int8)
+            cbatch = np.concatenate([cbatch, pad], axis=0)
+        cbatch = jax.device_put(cbatch, sharding)
         t1 = time.perf_counter()
-        acc, nw = count_step(codes, acc)
+        acc, nw = count_step(cbatch, acc)
         n_windows += int(fetch_global(nw)[0])
         t["encode"] += t1 - t0
         t["count"] += time.perf_counter() - t1
