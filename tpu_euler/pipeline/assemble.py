@@ -143,11 +143,28 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
     return acc, n_windows
 
 
+def right_size_spectrum(acc: Spectrum, granule: int = 1 << 18) -> Spectrum:
+    """Slice the capacity-padded spectrum down to ~1.1x its live size.
+
+    Every downstream array (edges, nodes, doubling-loop state) scales with the
+    spectrum's CAPACITY, not its live count — right-sizing before the graph
+    stage shrinks the whole traversal proportionally. Sizes are granule-rounded
+    so only a few distinct shapes ever compile.
+    """
+    C = acc.limbs.shape[0]
+    n = int(acc.n)
+    cap2 = min(C, max(granule, -(-int(n * 1.1) // granule) * granule))
+    if cap2 >= C:
+        return acc
+    return Spectrum(acc.limbs[:cap2], acc.counts[:cap2], acc.n)
+
+
 def spectrum_to_contigs(
     acc: Spectrum, cfg: AssemblyConfig, t: dict | None = None
 ) -> tuple[set, int]:
     """Cutoff (+ tip clipping) + graph + traversal + emission. Returns (contigs, n_cut)."""
     t = t if t is not None else {}
+    acc = right_size_spectrum(acc)
     graph_step = make_graph_step(cfg.k, cfg.min_count)
     if cfg.tip_rounds:
         from tpu_euler.euler.clean import clip_tips
