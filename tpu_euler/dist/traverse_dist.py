@@ -347,35 +347,15 @@ def shard_chains_to_contigs(sc: ShardChains, k: int) -> set[bytes]:
     import numpy as np
 
     from tpu_euler.dist.mesh import fetch_global
-    from tpu_euler.euler.extract import decode_bases_np, rc_bytes
+    from tpu_euler.euler.extract import assemble_contig_bytes
 
-    _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
     valid = fetch_global(sc.valid)
     idx = np.flatnonzero(valid)
     if idx.size == 0:
         return set()
-    chain = fetch_global(sc.chain)[idx]
-    pos = fetch_global(sc.pos)[idx]
-    limbs = fetch_global(sc.edge_limbs)[idx]
-    last = _BASES[(limbs[:, -1] & 3).astype(np.int64)]
-
-    uchain, dense = np.unique(chain, return_inverse=True)
-    n_chains = uchain.size
-    chain_len = np.zeros(n_chains, dtype=np.int64)
-    np.maximum.at(chain_len, dense, pos.astype(np.int64) + 1)
-    out_len = chain_len + (k - 1)
-    off = np.zeros(n_chains + 1, dtype=np.int64)
-    np.cumsum(out_len, out=off[1:])
-    buf = np.empty(off[-1], dtype=np.uint8)
-    buf[off[dense] + (k - 1) + pos] = last
-    starts = pos == 0
-    prefixes = decode_bases_np(limbs[starts], k - 1, k)
-    buf[off[dense[starts]][:, None] + np.arange(k - 1)[None, :]] = prefixes
-
-    contigs: set[bytes] = set()
-    for c in range(n_chains):
-        seq = buf[off[c] : off[c + 1]]
-        fwd = seq.tobytes()
-        rev = rc_bytes(seq).tobytes()
-        contigs.add(fwd if fwd <= rev else rev)
-    return contigs
+    return assemble_contig_bytes(
+        fetch_global(sc.chain)[idx],
+        fetch_global(sc.pos)[idx],
+        fetch_global(sc.edge_limbs)[idx],
+        k,
+    )

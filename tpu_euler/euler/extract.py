@@ -170,39 +170,31 @@ def chains_to_contigs_device(
     return contigs
 
 
-def chains_to_contigs(
-    g: DeBruijnGraph, chains: UnitigChains, k: int
+def assemble_contig_bytes(
+    chain: np.ndarray, pos: np.ndarray, limbs: np.ndarray, k: int
 ) -> set[bytes]:
-    """Assemble canonical contig byte-strings from per-edge chain assignments."""
-    in_chain = np.asarray(chains.in_chain)
-    idx = np.flatnonzero(in_chain)
-    if idx.size == 0:
+    """Shared host assembly core: (chain id, position, edge key) per valid edge
+    -> canonical contig byte-set. Used by the host emission path and the
+    sharded-traversal emission (dist/traverse_dist.py)."""
+    if chain.size == 0:
         return set()
-    chain = np.asarray(chains.chain)[idx]
-    pos = np.asarray(chains.pos)[idx]
-    length = np.asarray(chains.length)[idx]
-    limbs = np.asarray(g.edge_limbs)[idx]
     last = _BASES[(limbs[:, -1] & 3).astype(np.int64)]
-
     # Dense chain ids 0..n_chains-1 in deterministic (end-edge id) order.
     uchain, dense = np.unique(chain, return_inverse=True)
     n_chains = uchain.size
-    # per-chain length (edges) and output offsets: contig c occupies
-    # [(k-1)+len_c] bytes at offset off_c in one flat buffer.
     chain_len = np.zeros(n_chains, dtype=np.int64)
-    chain_len[dense] = length
+    np.maximum.at(chain_len, dense, pos.astype(np.int64) + 1)
+    # contig c occupies [(k-1)+len_c] bytes at offset off_c in one flat buffer
     out_len = chain_len + (k - 1)
     off = np.zeros(n_chains + 1, dtype=np.int64)
     np.cumsum(out_len, out=off[1:])
     buf = np.empty(off[-1], dtype=np.uint8)
-
     # last base of every edge at its position (k-1 + pos)
     buf[off[dense] + (k - 1) + pos] = last
     # (k-1)-prefix of each chain's start edge at positions 0..k-2
     starts = pos == 0
-    sdense = dense[starts]
     prefixes = decode_bases_np(limbs[starts], k - 1, k)
-    buf[off[sdense][:, None] + np.arange(k - 1)[None, :]] = prefixes
+    buf[off[dense[starts]][:, None] + np.arange(k - 1)[None, :]] = prefixes
 
     contigs: set[bytes] = set()
     for c in range(n_chains):
@@ -211,3 +203,18 @@ def chains_to_contigs(
         rev = rc_bytes(seq).tobytes()
         contigs.add(fwd if fwd <= rev else rev)
     return contigs
+
+
+def chains_to_contigs(
+    g: DeBruijnGraph, chains: UnitigChains, k: int
+) -> set[bytes]:
+    """Assemble canonical contig byte-strings from per-edge chain assignments."""
+    idx = np.flatnonzero(np.asarray(chains.in_chain))
+    if idx.size == 0:
+        return set()
+    return assemble_contig_bytes(
+        np.asarray(chains.chain)[idx],
+        np.asarray(chains.pos)[idx],
+        np.asarray(g.edge_limbs)[idx],
+        k,
+    )
