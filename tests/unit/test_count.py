@@ -115,3 +115,16 @@ def test_overflow_detection():
     acc = empty_spectrum(256, L)  # deliberately too small
     acc = merge_spectra(acc, count_batch(limbs, valid))
     assert spectrum_overflowed(acc)
+
+
+def test_right_size_spectrum():
+    from tpu_euler.pipeline.assemble import right_size_spectrum
+
+    spec = empty_spectrum(1 << 12, 2)
+    spec = spec._replace(n=jnp.asarray(100, jnp.int32))
+    small = right_size_spectrum(spec, granule=256)
+    assert small.limbs.shape[0] == 256
+    assert int(small.n) == 100
+    # already tight: unchanged
+    spec2 = spec._replace(n=jnp.asarray(4000, jnp.int32))
+    assert right_size_spectrum(spec2, granule=256).limbs.shape[0] == 1 << 12

@@ -57,3 +57,54 @@ def test_exchange_gather_overflow_detected():
     )
     _, dropped = g(jnp.asarray(state), jnp.asarray(gids))
     assert int(np.asarray(dropped).reshape(-1)[0]) > 0
+
+
+@pytest.mark.parametrize("combine", ["set", "min", "max"])
+def test_exchange_push_combines(combine):
+    n_dev, el_cap = 4, 16
+    mesh = make_mesh(n_dev)
+    E = n_dev * el_cap
+    rng = np.random.default_rng(11)
+    vals = rng.integers(1, 1000, (E, 2)).astype(np.uint32)
+    gids = rng.integers(-1, E, (E,), dtype=np.int32)
+
+    from tpu_euler.dist.exchange import exchange_push
+
+    def f(v, g):
+        out, dropped = exchange_push(v, g, n_dev, el_cap, c_req=el_cap, combine=combine)
+        return out, jax.lax.psum(dropped, AXIS)
+
+    g = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=(P(AXIS), P())
+        )
+    )
+    out, dropped = g(jnp.asarray(vals), jnp.asarray(gids))
+    out = np.asarray(out)
+    assert int(np.asarray(dropped).reshape(-1)[0]) == 0
+    # reference combine
+    if combine == "min":
+        ref = np.full((E, 2), 0xFFFFFFFF, np.uint32)
+        op = np.minimum
+    else:
+        ref = np.zeros((E, 2), np.uint32)
+        op = np.maximum if combine == "max" else None
+    for i in range(E):
+        t = gids[i]
+        if t < 0:
+            continue
+        if combine == "set":
+            ref[t] = vals[i]  # unique-writer in expectation not guaranteed here
+        else:
+            ref[t] = op(ref[t], vals[i])
+    if combine == "set":
+        # duplicate writers make "set" ambiguous; check unwritten slots only
+        written = np.zeros(E, bool)
+        written[gids[gids >= 0]] = True
+        assert (out[~written] == 0).all()
+        # every written slot holds one of its writers' values
+        for t in np.flatnonzero(written):
+            writers = vals[gids == t]
+            assert any((out[t] == w).all() for w in writers)
+    else:
+        np.testing.assert_array_equal(out, ref)
