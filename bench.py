@@ -53,10 +53,11 @@ def main() -> int:
         spectrum_capacity=1 << 23,
     )
 
-    # Warm-up at identical shapes on a slice of the data: compiles every program
-    # (count/graph/traversal) so the timed run measures execution, not the
-    # axon remote-compiler.
-    warm = assemble_codes(codes[: cfg.read_batch], cfg)
+    # Warm-up on the FULL dataset: the graph stage right-sizes its arrays from
+    # the live key count, so only a full-size run compiles the exact shapes the
+    # timed run uses (a slice would right-size differently). The timed run then
+    # measures execution, not the axon remote-compiler.
+    warm = assemble_codes(codes, cfg)
     del warm
 
     t0 = time.perf_counter()
