@@ -71,3 +71,24 @@ def test_sharded_paired_end_reads():
     cfg = AssemblyConfig(k=31, read_batch=128, read_len=100, spectrum_capacity=1 << 15)
     got = assemble_reads_distributed(reads, cfg, n_devices=4, shard_traversal=True)
     assert canonical_contig_set(got.contig_strings) == assemble_oracle(reads, 31)
+
+
+def test_sharded_tip_clipping_matches_oracle():
+    """Tips clipped identically through the sharded path (configs 4-5 + errors)."""
+    import numpy as np
+
+    rng = np.random.default_rng(840)
+    genome = random_genome(2500, seed=841)
+    reads = simulate_reads(genome, read_len=100, coverage=25, seed=842, circular=True)
+    for t in range(5):
+        p = int(rng.integers(0, len(genome) - 100))
+        junk = "".join("ACGT"[c] for c in rng.integers(0, 4, 30))
+        reads.extend([(genome[p : p + 70] + junk)[:100]] * 5)
+    cfg = AssemblyConfig(
+        k=21, min_count=3, tip_rounds=3, read_batch=128, read_len=100,
+        spectrum_capacity=1 << 15,
+    )
+    got = assemble_reads_distributed(reads, cfg, n_devices=8, shard_traversal=True)
+    expected = assemble_oracle(reads, 21, min_count=3, tip_rounds=3)
+    assert canonical_contig_set(got.contig_strings) == expected
+    assert len(expected) == 1  # clean single-circle recovery

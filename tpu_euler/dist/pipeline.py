@@ -114,6 +114,21 @@ def assemble_reads_distributed(
         cl, cc, cn = cut_step(acc.limbs, acc.counts, acc.n)
         chains_step = make_dist_chains_step(cfg.k, n_dev, c_local, mesh)
         sc = chains_step(cl, cc, cn)
+        if cfg.tip_rounds:
+            from tpu_euler.dist.traverse_dist import (
+                find_tip_rows,
+                make_dist_compact_step,
+            )
+
+            compact_step = make_dist_compact_step(mesh)
+            tip_len = cfg.tip_len or 2 * cfg.k
+            for _ in range(cfg.tip_rounds):
+                keep, n_tips = find_tip_rows(sc, cfg.k, tip_len, c_local)
+                if n_tips == 0:
+                    break
+                keep_dev = jax.device_put(keep, sharding)
+                cl, cc, cn = compact_step(cl, cc, cn, keep_dev)
+                sc = chains_step(cl, cc, cn)
         jax.block_until_ready(sc)
         t["graph"] = time.perf_counter() - t2
         sdrop = int(fetch_global(sc.dropped).sum())

@@ -52,6 +52,8 @@ class ShardChains(NamedTuple):
     chain: jax.Array  # [N] int32 global chain id (end-edge gid)
     pos: jax.Array  # [N] int32 position from chain start
     is_start: jax.Array  # [N] bool
+    tail_dead: jax.Array  # [N] bool — edge's tail node has in-degree 0
+    head_dead: jax.Array  # [N] bool — edge's head node has out-degree 0
     dropped: jax.Array  # [n_dev] int32 slab drops (must be 0)
 
 
@@ -151,15 +153,22 @@ def _node_record_exchange(edge_limbs, valid, k, n_dev, el_cap, c_node):
     segc = jnp.clip(seg, 0, Mr - 1)
     simple = (outdeg[segc] == 1) & (indeg[segc] == 1) & t_valid
     first = jnp.clip(gstart[segc], 0, Mr - 1)
-    # in-record of a simple node: partner out-record is the group's first row
+    # in-record of a simple node: partner out-record is the group's first row.
+    # Reply columns are interpreted per record type (the requester knows which
+    # half each record came from): IN: [succ_gid, succ_lastb, head_outdeg0, -];
+    # OUT: [tail_indeg0, -, haspred, pred_gid].
     is_inrec = t_valid & (t_in_last == 1)
-    succ_gid_v = jnp.where(is_inrec & simple, t_gid[first], _SENT)
-    succ_lb_v = jnp.where(is_inrec & simple, t_lastb[first], 0)
-    # out-record of a simple node: this edge has a predecessor — the group's
-    # unique in-record, which sorts immediately after the unique out-record
     is_outrec = t_valid & (t_in_last == 0)
+    succ_gid_v = jnp.where(is_inrec & simple, t_gid[first], _SENT)
+    succ_gid_v = jnp.where(
+        is_outrec, jnp.where(indeg[segc] == 0, jnp.uint32(1), 0), succ_gid_v
+    )
+    succ_lb_v = jnp.where(is_inrec & simple, t_lastb[first], 0)
     second = jnp.clip(first + 1, 0, Mr - 1)
     haspred_v = jnp.where(is_outrec & simple, jnp.uint32(1), 0)
+    haspred_v = jnp.where(
+        is_inrec, jnp.where(outdeg[segc] == 0, jnp.uint32(1), 0), haspred_v
+    )
     pred_gid_v = jnp.where(is_outrec & simple, t_gid[second], _SENT)
     # route reply values back to slab order
     reply = jnp.zeros((Mr, 4), jnp.uint32)
@@ -176,8 +185,8 @@ def _node_record_exchange(edge_limbs, valid, k, n_dev, el_cap, c_node):
         ok[:, None], got, jnp.asarray([_SENT, 0, 0, _SENT], jnp.uint32)[None, :]
     )
     per_record = jnp.zeros((M, 4), jnp.uint32).at[sslot].set(got)
-    out_replies = per_record[:el_cap]  # OUT records -> has_pred flag + pred gid
-    in_replies = per_record[el_cap:]  # IN records -> succ info
+    out_replies = per_record[:el_cap]  # OUT records -> tail flags + pred gid
+    in_replies = per_record[el_cap:]  # IN records -> succ info + head flag
     succ_gid = jnp.where(
         valid & (in_replies[:, 0] != _SENT), in_replies[:, 0].astype(jnp.int32), -1
     )
@@ -186,7 +195,9 @@ def _node_record_exchange(edge_limbs, valid, k, n_dev, el_cap, c_node):
     pred_gid = jnp.where(
         valid & (out_replies[:, 3] != _SENT), out_replies[:, 3].astype(jnp.int32), -1
     )
-    return succ_gid, succ_lastb, has_pred, pred_gid, n_drop1
+    tail_dead = valid & (out_replies[:, 0] == 1)
+    head_dead = valid & (in_replies[:, 2] == 1)
+    return succ_gid, succ_lastb, has_pred, pred_gid, tail_dead, head_dead, n_drop1
 
 
 def make_dist_chains_step(
@@ -216,8 +227,8 @@ def make_dist_chains_step(
         )
         valid = jnp.concatenate([row_valid, row_valid])
 
-        succ, succ_lastb, has_pred, pred, d1 = _node_record_exchange(
-            edge_limbs, valid, k, n_dev, el_cap, c_node
+        succ, succ_lastb, has_pred, pred, tail_dead, head_dead, d1 = (
+            _node_record_exchange(edge_limbs, valid, k, n_dev, el_cap, c_node)
         )
 
         # transition keys (for cycle cutting)
@@ -299,6 +310,8 @@ def make_dist_chains_step(
             chain=jnp.where(valid, end_gid, -1),
             pos=jnp.where(valid, pos, 0),
             is_start=is_start,
+            tail_dead=tail_dead,
+            head_dead=head_dead,
             dropped=drops[None],
         )
 
@@ -308,6 +321,8 @@ def make_dist_chains_step(
         chain=P(AXIS),
         pos=P(AXIS),
         is_start=P(AXIS),
+        tail_dead=P(AXIS),
+        head_dead=P(AXIS),
         dropped=P(AXIS),
     )
     return jax.jit(
@@ -358,4 +373,70 @@ def shard_chains_to_contigs(sc: ShardChains, k: int) -> set[bytes]:
         fetch_global(sc.pos)[idx],
         fetch_global(sc.edge_limbs)[idx],
         k,
+    )
+
+
+def find_tip_rows(sc: ShardChains, k: int, tip_len: int, c_local: int):
+    """Host-side tip identification on sharded chains (semantics identical to
+    reference_impl.oracle.find_tip_kmers / euler.clean.clip_tips_once).
+
+    Returns (keep_rows [n_dev * c_local] bool numpy, n_tip_edges).
+    """
+    import numpy as np
+
+    from tpu_euler.dist.mesh import fetch_global
+
+    valid = fetch_global(sc.valid)
+    chain = fetch_global(sc.chain)
+    pos = fetch_global(sc.pos)
+    tail_dead = fetch_global(sc.tail_dead)
+    head_dead = fetch_global(sc.head_dead)
+    N = valid.shape[0]
+    el_cap = 2 * c_local
+    n_dev = N // el_cap
+
+    idx = np.flatnonzero(valid)
+    ch = chain[idx]
+    uchain, dense = np.unique(ch, return_inverse=True)
+    n_chains = uchain.size
+    length = np.zeros(n_chains, np.int64)
+    np.maximum.at(length, dense, pos[idx].astype(np.int64) + 1)
+    ds = np.zeros(n_chains, bool)
+    de = np.zeros(n_chains, bool)
+    starts = pos[idx] == 0
+    ds[dense[starts]] = tail_dead[idx][starts]
+    ends = pos[idx].astype(np.int64) == length[dense] - 1
+    de[dense[ends]] = head_dead[idx][ends]
+    tip_chain = (length < tip_len) & (ds ^ de)
+
+    tip_edge = np.zeros(N, bool)
+    tip_edge[idx] = tip_chain[dense]
+    # edge row i on shard s maps to spectrum row s*c_local + (i % el_cap) % c_local
+    tip_edge = tip_edge.reshape(n_dev, 2, c_local)
+    tip_row = tip_edge.any(axis=1).reshape(n_dev * c_local)
+    keep = ~tip_row
+    return keep, int(tip_edge.sum())
+
+
+def make_dist_compact_step(mesh: Mesh):
+    """Per-shard spectrum compaction by an external keep mask (tip removal)."""
+    from tpu_euler.kmer.count import Spectrum
+
+    def local(limbs, counts, n, keep):
+        C = limbs.shape[0]
+        valid_row = jnp.arange(C, dtype=jnp.int32) < n[0]
+        k2 = keep & valid_row
+        dest = jnp.cumsum(k2.astype(jnp.int32)) - 1
+        dest = jnp.where(k2, dest, C)
+        nl = jnp.zeros_like(limbs).at[dest].set(limbs, mode="drop")
+        nc = jnp.zeros_like(counts).at[dest].set(counts, mode="drop")
+        return nl, nc, jnp.sum(k2.astype(jnp.int32))[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        )
     )
