@@ -89,3 +89,19 @@ def test_multiple_components():
     cfg = AssemblyConfig(k=21, read_batch=512, read_len=80, spectrum_capacity=1 << 14)
     got = check_equal(reads, cfg)
     assert len(got.contigs) == 2
+
+
+def test_streamed_and_oneshot_counting_agree():
+    """Both counting strategies produce identical spectra/contigs."""
+    import dataclasses
+
+    genome = random_genome(2500, seed=111)
+    reads = simulate_reads(genome, read_len=100, coverage=18, seed=112, circular=True)
+    base = AssemblyConfig(k=31, read_batch=256, read_len=100, spectrum_capacity=1 << 14)
+    one = assemble_reads(reads, base)  # one-shot (small run)
+    streamed = assemble_reads(
+        reads, dataclasses.replace(base, oneshot_rows=0)
+    )
+    assert one.contigs == streamed.contigs
+    assert one.n_distinct_kmers == streamed.n_distinct_kmers
+    assert one.n_kmers_counted == streamed.n_kmers_counted

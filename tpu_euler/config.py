@@ -49,6 +49,9 @@ class AssemblyConfig:
     scramble: bool = True  # hash-scramble keys before prefix bucketing
     tip_rounds: int = 0  # iterative tip-clipping rounds (0 = off)
     tip_len: int = 0  # tip threshold in edges (0 = 2k)
+    # one-shot counting: if the whole run's windows fit this many rows, buffer
+    # all canonical keys and sort ONCE instead of merging per batch (0 = off).
+    oneshot_rows: int = 192_000_000
 
     def __post_init__(self):
         if self.k < 3 or self.k % 2 == 0:

@@ -101,9 +101,90 @@ def assemble_reads(
     return assemble_codes(codes, cfg)
 
 
-def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
-    """Stream a pre-encoded [R, read_len] int8 code matrix into a Spectrum.
+def make_extract_fill_step(k: int):
+    """Per-batch: extract+canonicalize and write into the one-shot key buffer.
 
+    Invalid windows become all-ones sentinel keys — for odd k no valid
+    canonical key uses all 32 bits of limb 0, so the sentinel needs no separate
+    validity operand and sorts to the end for free.
+    """
+    assert k % 16 != 0  # sentinel encoding requires spare bits in limb 0
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(codes: jax.Array, buf: jax.Array, start: jax.Array):
+        limbs, valid = extract_canonical_kmers(codes, k)
+        limbs = jnp.where(valid[:, None], limbs, jnp.uint32(0xFFFFFFFF))
+        buf = jax.lax.dynamic_update_slice(buf, limbs, (start, 0))
+        return buf, jnp.sum(valid.astype(jnp.int32))
+
+    return step
+
+
+def make_oneshot_count(k: int, capacity: int):
+    """Sort the full key buffer once; dedup + count into a capacity spectrum."""
+    from tpu_euler.kmer import keys
+    from tpu_euler.kmer.count import segment_sums_sorted
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def count(buf: jax.Array):
+        T, L = buf.shape
+        s = jax.lax.sort([buf[:, j] for j in range(L)], num_keys=L)
+        sl = jnp.stack(s, axis=-1)
+        sv = s[0] != jnp.uint32(0xFFFFFFFF)
+        prev = jnp.roll(sl, 1, axis=0)
+        is_new = (~keys.key_eq(sl, prev)).at[0].set(True) & sv
+        seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        n = jnp.sum(is_new.astype(jnp.int32))
+        counts = segment_sums_sorted(
+            is_new, seg, jnp.where(sv, 1, 0).astype(jnp.int32), capacity
+        )
+        dest = jnp.where(is_new & (seg < capacity), seg, capacity)
+        uniq = jnp.zeros((capacity, L), jnp.uint32).at[dest].set(sl, mode="drop")
+        return Spectrum(uniq, counts, jnp.minimum(n, capacity)), n > capacity
+
+    return count
+
+
+def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
+    """One-shot counting: buffer every batch's canonical keys, sort once."""
+    n_reads = codes_all.shape[0]
+    Wb = cfg.read_batch * cfg.windows_per_read
+    n_batches = max(1, -(-n_reads // cfg.read_batch))
+    T = n_batches * Wb
+    fill = make_extract_fill_step(cfg.k)
+    oneshot = make_oneshot_count(cfg.k, cfg.spectrum_capacity)
+    buf = jnp.full((T, cfg.nlimbs), jnp.uint32(0xFFFFFFFF))
+    n_windows = jnp.zeros((), jnp.int32)
+    for b in range(n_batches):
+        batch = codes_all[b * cfg.read_batch : (b + 1) * cfg.read_batch]
+        t0 = time.perf_counter()
+        if batch.shape[0] < cfg.read_batch:
+            pad = np.full((cfg.read_batch - batch.shape[0], cfg.read_len), 4, np.int8)
+            batch = np.concatenate([batch, pad], axis=0)
+        codes = jnp.asarray(batch)
+        t1 = time.perf_counter()
+        buf, nw = fill(codes, buf, jnp.asarray(b * Wb, jnp.int32))
+        n_windows = n_windows + nw
+        t["encode"] += t1 - t0
+        t["count"] += time.perf_counter() - t1
+    t1 = time.perf_counter()
+    acc, over = oneshot(buf)
+    n_windows = int(n_windows)  # D2H: forces real completion on the axon relay
+    t["count_drain"] += time.perf_counter() - t1
+    if bool(over):
+        raise RuntimeError(
+            f"spectrum capacity {cfg.spectrum_capacity} overflowed: "
+            f"raise AssemblyConfig.spectrum_capacity"
+        )
+    return acc, n_windows
+
+
+def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
+    """Count a pre-encoded [R, read_len] int8 code matrix into a Spectrum.
+
+    Chooses one-shot counting (single global sort) when the run's total
+    windows fit ``cfg.oneshot_rows``; otherwise streams capacity-bounded
+    merges (memory-bounded for arbitrarily large read sets).
     Returns (spectrum, n_windows_counted).
     """
     import numpy as np
@@ -112,6 +193,12 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
     t.setdefault("encode", 0.0)
     t.setdefault("count", 0.0)
     t.setdefault("count_drain", 0.0)
+    n_reads = codes_all.shape[0]
+    total_windows = max(1, -(-n_reads // cfg.read_batch)) * (
+        cfg.read_batch * cfg.windows_per_read
+    )
+    if cfg.oneshot_rows and total_windows <= cfg.oneshot_rows and cfg.k % 16 != 0:
+        return count_spectrum_oneshot(codes_all, cfg, t)
     count_step = make_count_step(cfg.k)
     acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
     n_reads = codes_all.shape[0]
