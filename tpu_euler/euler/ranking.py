@@ -1,0 +1,430 @@
+"""Sparse-ruling-set list ranking: O(E) traversal instead of O(E log E).
+
+Pointer doubling (euler/unitigs.py) ranks successor lists in ceil(log2(E))
+full-array random-gather sweeps — ~25 passes over every edge at benchmark
+scale, and TPU random access costs ~10ns/row no matter how the rows are
+batched (PERF.md). This module implements the sparse-ruling-set scheme
+(Reid-Miller; Wei & JaJa's GPU list ranking), recast for XLA static shapes —
+the TPU-native answer to the reference's sequential tour walk (SURVEY.md
+R8-R10). Every element is touched O(1) times instead of O(log E):
+
+1. rulers = every chain head + a deterministic 1/RULER_STRIDE hash sample
+   (+ self-loops for the cycle phase);
+2. all rulers walk their sublists IN LOCKSTEP under one `lax.while_loop`,
+   each iteration advancing every live walk one successor hop and scattering
+   (ruler id, offset) into the visited element. Rounds are capped at
+   WALK_CAP hops: walks still alive spawn a "virtual ruler" at their
+   continuation element, and the next round walks only those — a pow2 ladder
+   of shrinking shapes, so the geometric tail of sublist lengths costs
+   O(E) total slot-iterations instead of (max gap) x (#rulers);
+3. the contracted ruler-level list (~E/RULER_STRIDE nodes) is ranked by the
+   old packed-state pointer doubling — on arrays ~64x smaller;
+4. per-edge results are one gather from the ruler tables.
+
+Two entry points mirror the two doubling loops they replace:
+  * ``cycle_min_ruling``   — which edges lie on pure cycles + each cycle's
+    minimum transition key (deterministic cycle cutting);
+  * ``rank_chains_ruling`` — distance-to-end + end-edge label per edge of a
+    cycle-free successor array (replaces ``unitigs.wyllie_rank``).
+
+Ruler-free cycles (cycles shorter than the hash stride that dodged the
+sample) are resolved by a compacted doubling pass over just the uncovered
+elements. All choices are deterministic, so contigs are bit-identical to the
+doubling path's. Callers receive ``None`` on the (pathological) overflow
+paths and fall back to full doubling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_euler.kmer import keys
+
+RULER_STRIDE = 64  # expected elements per hash-sampled ruler
+WALK_CAP = 128  # max hops per walk round (offsets must fit 8 bits)
+_SENT32 = jnp.uint32(0xFFFFFFFF)
+_GID_BITS = 24  # packed owner word: [gid:24 | offset:8]
+
+
+def _log2_ceil(n: int) -> int:
+    return max(1, (n - 1).bit_length())
+
+
+def _pow2(n: int, lo: int = 1 << 12) -> int:
+    return 1 << max(_log2_ceil(max(1, n)), _log2_ceil(lo))
+
+
+def _hash_sample(n: int) -> jax.Array:
+    h = keys._mix32(jnp.arange(n, dtype=jnp.uint32))
+    return h < jnp.uint32((1 << 32) // RULER_STRIDE)
+
+
+@functools.partial(jax.jit, static_argnames=("with_self",))
+def _pick_rulers(succ: jax.Array, valid: jax.Array, with_self: bool):
+    """Ruler mask: valid chain heads + hash sample (+ self-loops)."""
+    E = succ.shape[0]
+    live = succ >= 0
+    has_pred = (
+        jnp.zeros((E,), jnp.bool_)
+        .at[jnp.where(live, succ, E)]
+        .set(True, mode="drop")
+    )
+    is_ruler = valid & (~has_pred | _hash_sample(E))
+    if with_self:
+        is_ruler = is_ruler | (succ == jnp.arange(E, dtype=jnp.int32))
+    return is_ruler, jnp.sum(is_ruler.astype(jnp.int32))
+
+
+@jax.jit
+def _build_succ2(succ: jax.Array, is_ruler: jax.Array):
+    """Encode 'next element is a ruler' into the successor array itself, so
+    the walk needs ONE gather per hop: succ2[e] = succ[e] normally, -1 at
+    chain ends, -2-succ[e] when succ[e] is a ruler."""
+    E = succ.shape[0]
+    nxt_is_ruler = is_ruler[jnp.clip(succ, 0, E - 1)] & (succ >= 0)
+    return jnp.where(nxt_is_ruler, -2 - succ, succ)
+
+
+@functools.partial(jax.jit, static_argnames=("s_cap",))
+def _compact_rulers(is_ruler: jax.Array, s_cap: int):
+    """Element ids of the first s_cap rulers, padded with -1."""
+    E = is_ruler.shape[0]
+    eid = jnp.arange(E, dtype=jnp.int32)
+    slot = jnp.cumsum(is_ruler.astype(jnp.int32)) - 1
+    dest = jnp.where(is_ruler & (slot < s_cap), slot, s_cap)
+    return jnp.full((s_cap,), -1, jnp.int32).at[dest].set(eid, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("track_min", "walk_cap"))
+def _walk_round(
+    succ2: jax.Array,
+    t: jax.Array,
+    frontier: jax.Array,
+    gid_base: jax.Array,
+    owner_off: jax.Array,
+    walk_cap: int,
+    track_min: bool,
+):
+    """One capped lockstep walk round from ``frontier`` (element ids, -1 pad).
+
+    Returns (owner_off, succ2, next_r, end_e, hops, span_min, capped, n_capped):
+    per-slot next ruler element id (-1 none), chain-end element id (-1 none),
+    hop count to the recorded stop, span min key; ``capped`` = compacted
+    continuation element ids (new virtual rulers) for the next round.
+    """
+    E = succ2.shape[0]
+    s_cap = frontier.shape[0]
+    L = t.shape[1] if track_min else 0
+    gid = gid_base + jnp.arange(s_cap, dtype=jnp.uint32)
+
+    live0 = frontier >= 0
+    f_c = jnp.clip(frontier, 0, E - 1)
+    # rulers own themselves at offset 0
+    owner_off = owner_off.at[jnp.where(live0, frontier, E)].set(
+        gid << jnp.uint32(8), mode="drop"
+    )
+    if track_min:
+        m0 = jnp.where(live0[:, None], t[f_c], _SENT32)
+    else:
+        m0 = jnp.zeros((s_cap, 0), jnp.uint32)
+
+    state = dict(
+        x=jnp.where(live0, frontier, -1),
+        step=jnp.zeros((s_cap,), jnp.int32),
+        next_r=jnp.full((s_cap,), -1, jnp.int32),
+        end_e=jnp.full((s_cap,), -1, jnp.int32),
+        hops=jnp.zeros((s_cap,), jnp.int32),
+        mmin=m0,
+        owner_off=owner_off,
+        it=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return (s["it"] < walk_cap) & jnp.any(s["x"] >= 0)
+
+    def body(s):
+        x = s["x"]
+        alive = x >= 0
+        raw = succ2[jnp.clip(x, 0, E - 1)]
+        stop_ruler = alive & (raw <= -2)
+        stop_end = alive & (raw == -1)
+        advance = alive & (raw >= 0)
+        step1 = s["step"] + advance.astype(jnp.int32)
+        next_r = jnp.where(stop_ruler, -2 - raw, s["next_r"])
+        end_e = jnp.where(stop_end, x, s["end_e"])
+        hops = jnp.where(
+            stop_ruler, s["step"] + 1, jnp.where(stop_end, s["step"], s["hops"])
+        )
+        x1 = jnp.where(advance, raw, -1)
+        vdest = jnp.where(advance, raw, E)
+        owner_off = s["owner_off"].at[vdest].set(
+            (gid << jnp.uint32(8)) | step1.astype(jnp.uint32), mode="drop"
+        )
+        if track_min:
+            tn = jnp.where(
+                advance[:, None], t[jnp.clip(x1, 0, E - 1)], _SENT32
+            )
+            take = keys.key_less(tn, s["mmin"])
+            mmin = jnp.where(take[:, None], tn, s["mmin"])
+        else:
+            mmin = s["mmin"]
+        return dict(
+            x=x1,
+            step=step1,
+            next_r=next_r,
+            end_e=end_e,
+            hops=hops,
+            mmin=mmin,
+            owner_off=owner_off,
+            it=s["it"] + 1,
+        )
+
+    s = jax.lax.while_loop(cond, body, state)
+
+    # classify walks still alive at the cap
+    x, step = s["x"], s["step"]
+    alive = x >= 0
+    raw = succ2[jnp.clip(x, 0, E - 1)]
+    cap_ruler = alive & (raw <= -2)
+    cap_end = alive & (raw == -1)
+    cap_cont = alive & (raw >= 0)
+    next_r = jnp.where(cap_ruler | cap_cont, jnp.where(cap_cont, raw, -2 - raw), s["next_r"])
+    end_e = jnp.where(cap_end, x, s["end_e"])
+    hops = jnp.where(
+        cap_ruler | cap_cont, step + 1, jnp.where(cap_end, step, s["hops"])
+    )
+    # continuation elements become next round's rulers; patch succ2 at their
+    # (unique) predecessor so later walks stop there.
+    succ2 = succ2.at[jnp.where(cap_cont, x, E)].set(
+        jnp.where(cap_cont, -2 - raw, 0), mode="drop"
+    )
+    cslot = jnp.cumsum(cap_cont.astype(jnp.int32)) - 1
+    capped = (
+        jnp.full((s_cap,), -1, jnp.int32)
+        .at[jnp.where(cap_cont, cslot, s_cap)]
+        .set(jnp.where(cap_cont, raw, -1), mode="drop")
+    )
+    n_capped = jnp.sum(cap_cont.astype(jnp.int32))
+    return s["owner_off"], succ2, next_r, end_e, hops, s["mmin"], capped, n_capped
+
+
+def _run_walk(succ, valid, t, track_min, with_self):
+    """All walk rounds; returns (owner_off [E], host-concatenated ruler
+    tables, S_cap) or None on gid overflow."""
+    E = succ.shape[0]
+    is_ruler, n_rulers = _pick_rulers(succ, valid, with_self)
+    succ2 = _build_succ2(succ, is_ruler)
+    s_cap = _pow2(int(n_rulers))
+    owner_off = jnp.full((E,), _SENT32)
+    if not track_min:
+        t = jnp.zeros((E, 0), jnp.uint32)
+
+    frontier = _compact_rulers(is_ruler, s_cap)
+    base = 0
+    tabs = {"elem": [], "next_r": [], "end_e": [], "hops": [], "mmin": []}
+    while True:
+        if base + s_cap >= (1 << _GID_BITS):
+            return None, None, None
+        owner_off, succ2, next_r, end_e, hops, mmin, capped, n_capped = _walk_round(
+            succ2, t, frontier, jnp.uint32(base), owner_off, WALK_CAP, track_min
+        )
+        tabs["elem"].append(np.asarray(frontier))
+        tabs["next_r"].append(np.asarray(next_r))
+        tabs["end_e"].append(np.asarray(end_e))
+        tabs["hops"].append(np.asarray(hops))
+        tabs["mmin"].append(np.asarray(mmin))
+        base += s_cap
+        n = int(n_capped)
+        if n == 0:
+            break
+        s_cap = _pow2(n)
+        frontier = capped[:s_cap]
+
+    cat = {k: np.concatenate(v, axis=0) for k, v in tabs.items()}
+    S_cap = _pow2(base)
+    pad = S_cap - base
+    if pad:
+        cat["elem"] = np.pad(cat["elem"], (0, pad), constant_values=-1)
+        cat["next_r"] = np.pad(cat["next_r"], (0, pad), constant_values=-1)
+        cat["end_e"] = np.pad(cat["end_e"], (0, pad), constant_values=-1)
+        cat["hops"] = np.pad(cat["hops"], (0, pad))
+        cat["mmin"] = np.pad(
+            cat["mmin"], ((0, pad), (0, 0)), constant_values=0xFFFFFFFF
+        )
+    return owner_off, cat, S_cap
+
+
+@functools.partial(jax.jit, static_argnames=("E",))
+def _contract_succ(elem: jax.Array, next_r: jax.Array, E: int):
+    """Contracted successor over ruler slots: slot -> slot of next ruler."""
+    S = elem.shape[0]
+    slot_of = (
+        jnp.full((E,), -1, jnp.int32)
+        .at[jnp.where(elem >= 0, elem, E)]
+        .set(jnp.arange(S, dtype=jnp.int32), mode="drop")
+    )
+    return jnp.where(next_r >= 0, slot_of[jnp.clip(next_r, 0, E - 1)], -1)
+
+
+@jax.jit
+def _contracted_cycle_min(succ_c: jax.Array, mmin: jax.Array):
+    """Packed-state min-propagating doubling over the contracted list."""
+    S, L = mmin.shape
+    rounds = _log2_ceil(S) + 1
+    p0 = jnp.where(succ_c >= 0, succ_c.astype(jnp.uint32), _SENT32)
+    S0 = jnp.concatenate([p0[:, None], mmin], axis=1)
+
+    def round_fn(_, St):
+        p = St[:, 0]
+        alive = p != _SENT32
+        rows = St[jnp.clip(p, 0, jnp.uint32(S - 1)).astype(jnp.int32)]
+        p_new = jnp.where(alive, rows[:, 0], _SENT32)
+        m_nxt = jnp.where(alive[:, None], rows[:, 1:], _SENT32)
+        take = keys.key_less(m_nxt, St[:, 1:])
+        m_new = jnp.where(take[:, None], m_nxt, St[:, 1:])
+        return jnp.concatenate([p_new[:, None], m_new], axis=1)
+
+    St = jax.lax.fori_loop(0, rounds, round_fn, S0)
+    return St[:, 0] != _SENT32, St[:, 1:]  # (ruler_on_cycle, ruler_min)
+
+
+@jax.jit
+def _contracted_rank(succ_c: jax.Array, hops: jax.Array, end_e: jax.Array):
+    """Weighted Wyllie over the contracted list.
+
+    Returns per-slot (D = hops to chain end, chain_end element id)."""
+    S = succ_c.shape[0]
+    rounds = _log2_ceil(S) + 1
+    sid = jnp.arange(S, dtype=jnp.uint32)
+    p0 = jnp.where(succ_c >= 0, succ_c.astype(jnp.uint32), _SENT32)
+    d0 = hops.astype(jnp.uint32)
+    q0 = jnp.where(succ_c >= 0, succ_c.astype(jnp.uint32), sid)
+    S0 = jnp.stack([p0, d0, q0], axis=1)
+
+    def round_fn(_, St):
+        p = St[:, 0]
+        alive = p != _SENT32
+        idx = jnp.where(alive, p, sid).astype(jnp.int32)
+        rows = St[jnp.clip(idx, 0, S - 1)]
+        p_new = jnp.where(alive, rows[:, 0], _SENT32)
+        d_new = St[:, 1] + jnp.where(alive, rows[:, 1], 0)
+        q_new = rows[:, 2]
+        return jnp.stack([p_new, d_new, q_new], axis=1)
+
+    St = jax.lax.fori_loop(0, rounds, round_fn, S0)
+    D = St[:, 1].astype(jnp.int32)
+    q = St[:, 2].astype(jnp.int32)
+    chain_end = end_e[jnp.clip(q, 0, S - 1)]
+    has_cycle = jnp.any(St[:, 0] != _SENT32)  # a slot never reached an end
+    return D, chain_end, has_cycle
+
+
+@jax.jit
+def _broadcast_cycle(owner_off, ruler_on_cycle, ruler_min, succ):
+    covered = owner_off != _SENT32
+    gid = (owner_off >> jnp.uint32(8)).astype(jnp.int32)
+    S = ruler_on_cycle.shape[0]
+    g = jnp.clip(gid, 0, S - 1)
+    on_cycle = covered & ruler_on_cycle[g]
+    cyc_min = jnp.where(on_cycle[:, None], ruler_min[g], _SENT32)
+    uncovered = (succ >= 0) & ~covered
+    return on_cycle, cyc_min, uncovered
+
+
+@jax.jit
+def _broadcast_rank(owner_off, D, chain_end, succ):
+    E = succ.shape[0]
+    covered = owner_off != _SENT32
+    gid = (owner_off >> jnp.uint32(8)).astype(jnp.int32)
+    off = (owner_off & jnp.uint32(0xFF)).astype(jnp.int32)
+    S = D.shape[0]
+    g = jnp.clip(gid, 0, S - 1)
+    d = jnp.where(covered, D[g] - off, 0)
+    end_edge = jnp.where(covered, chain_end[g], jnp.arange(E, dtype=jnp.int32))
+    uncovered = (succ >= 0) & ~covered
+    return d, end_edge, uncovered
+
+
+@functools.partial(jax.jit, static_argnames=("u_cap",))
+def _uncovered_cycle_min(
+    succ: jax.Array, t: jax.Array, uncovered: jax.Array, u_cap: int
+):
+    """Min-propagating doubling over the compacted uncovered subset.
+
+    Uncovered elements are exactly the members of ruler-free cycles (every
+    path element is reachable from a head ruler), so all lie on cycles and
+    the subset's successor structure is closed within it.
+    """
+    E, L = t.shape
+    eid = jnp.arange(E, dtype=jnp.int32)
+    slot = jnp.cumsum(uncovered.astype(jnp.int32)) - 1
+    dest = jnp.where(uncovered & (slot < u_cap), slot, u_cap)
+    elem = jnp.full((u_cap,), -1, jnp.int32).at[dest].set(eid, mode="drop")
+    slot_of = (
+        jnp.full((E,), -1, jnp.int32)
+        .at[jnp.where(uncovered & (slot < u_cap), eid, E)]
+        .set(jnp.clip(slot, 0, u_cap - 1), mode="drop")
+    )
+    live = elem >= 0
+    ec = jnp.clip(elem, 0, E - 1)
+    succ_u = jnp.where(
+        live, slot_of[jnp.clip(succ[ec], 0, E - 1)], -1
+    )
+    m0 = jnp.where(live[:, None], t[ec], _SENT32)
+    on_c, cmin_u = _contracted_cycle_min(succ_u, m0)
+    cyc_min = (
+        jnp.full((E, L), _SENT32)
+        .at[jnp.where(live, ec, E)]
+        .set(cmin_u, mode="drop")
+    )
+    return cyc_min
+
+
+def cycle_min_ruling(succ, valid, t):
+    """(on_cycle [E], cycle-min transition key [E, L]) — semantics identical
+    to the min-propagating doubling in ``unitigs.cut_cycles``. Returns None
+    on gid overflow (caller falls back to doubling)."""
+    owner_off, cat, S_cap = _run_walk(succ, valid, t, track_min=True, with_self=True)
+    if owner_off is None:
+        return None
+    E = succ.shape[0]
+    elem = jnp.asarray(cat["elem"])
+    succ_c = _contract_succ(elem, jnp.asarray(cat["next_r"]), E)
+    ruler_on_cycle, ruler_min = _contracted_cycle_min(
+        succ_c, jnp.asarray(cat["mmin"])
+    )
+    on_cycle, cyc_min, uncovered = _broadcast_cycle(
+        owner_off, ruler_on_cycle, ruler_min, succ
+    )
+    n_unc = int(jnp.sum(uncovered.astype(jnp.int32)))
+    if n_unc:
+        u_cap = _pow2(n_unc)
+        cyc_min_u = _uncovered_cycle_min(succ, t, uncovered, u_cap)
+        on_cycle = on_cycle | uncovered
+        cyc_min = jnp.where(uncovered[:, None], cyc_min_u, cyc_min)
+    return on_cycle, cyc_min
+
+
+def rank_chains_ruling(succ, valid):
+    """(distance to chain end, end-edge label) per element of a cycle-free
+    successor array — replaces ``unitigs.wyllie_rank``. Returns None if a
+    cycle leaked through the cut or on gid overflow."""
+    owner_off, cat, S_cap = _run_walk(
+        succ, valid, None, track_min=False, with_self=False
+    )
+    if owner_off is None:
+        return None
+    E = succ.shape[0]
+    elem = jnp.asarray(cat["elem"])
+    succ_c = _contract_succ(elem, jnp.asarray(cat["next_r"]), E)
+    D, chain_end, has_cycle = _contracted_rank(
+        succ_c, jnp.asarray(cat["hops"]), jnp.asarray(cat["end_e"])
+    )
+    d, end_edge, uncovered = _broadcast_rank(owner_off, D, chain_end, succ)
+    if bool(has_cycle) or bool(jnp.any(uncovered)):
+        return None  # a cycle leaked through the cut: caller falls back
+    return d, end_edge

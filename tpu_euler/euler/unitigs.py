@@ -98,6 +98,23 @@ def successor(g: DeBruijnGraph, k: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def transition_keys(g: DeBruijnGraph, succ: jax.Array, k: int) -> jax.Array:
+    """t[e] = canonical (k+1)-mer of edge e + its successor's last base.
+
+    The deterministic, strand-symmetric tie-break key for cycle cutting:
+    the forward and reverse-complement copies of a cycle see mirror-equal
+    keys, so they cut at mirror positions and emit exact-RC contigs (matches
+    the CPU oracle rule). All-ones sentinel where succ < 0.
+    """
+    E = succ.shape[0]
+    SENT = jnp.uint32(0xFFFFFFFF)
+    nb = keys.last_base(g.edge_limbs[jnp.clip(succ, 0, E - 1)])
+    t = keys.append_base(g.edge_limbs, nb, k)
+    t, _ = keys.canonical(t, k + 1)
+    return jnp.where((succ >= 0)[:, None], t, SENT)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def cut_cycles(g: DeBruijnGraph, succ: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     """Break pure cycles deterministically. Returns (succ_cut, on_cycle).
 
@@ -111,11 +128,7 @@ def cut_cycles(g: DeBruijnGraph, succ: jax.Array, k: int) -> tuple[jax.Array, ja
     rounds = _log2_ceil(E) + 1
     SENT = jnp.uint32(0xFFFFFFFF)
 
-    # transition key t[e] = canonical (k+1)-mer of edge e + first step's base
-    nb = keys.last_base(g.edge_limbs[jnp.clip(succ, 0, E - 1)])
-    t = keys.append_base(g.edge_limbs, nb, k)
-    t, _ = keys.canonical(t, k + 1)
-    t = jnp.where((succ >= 0)[:, None], t, SENT)
+    t = transition_keys(g, succ, k)
 
     # packed state: column 0 = pointer (sentinel = all-ones), columns 1..L = min key
     p0 = jnp.where(succ >= 0, succ.astype(jnp.uint32), SENT)
@@ -138,23 +151,23 @@ def cut_cycles(g: DeBruijnGraph, succ: jax.Array, k: int) -> tuple[jax.Array, ja
     return succ_cut, on_cycle
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def unitig_chains(g: DeBruijnGraph, k: int) -> UnitigChains:
-    """Full chain computation; see module docstring."""
-    E = g.edge_limbs.shape[0]
-    rounds = _log2_ceil(E) + 1
-
-    succ0 = successor(g, k)
-    succ, on_cycle = cut_cycles(g, succ0, k)
-    d, end_edge = wyllie_rank(succ, rounds)
-
+@jax.jit
+def _chains_from_rank(
+    edge_valid: jax.Array,
+    succ: jax.Array,
+    d: jax.Array,
+    end_edge: jax.Array,
+    on_cycle: jax.Array,
+) -> UnitigChains:
+    """Assemble the UnitigChains record from a ranked cut successor array."""
+    E = succ.shape[0]
     # --- chain starts: edges no one points to (under the cut successor) ---
     has_pred = (
         jnp.zeros((E,), jnp.bool_)
         .at[jnp.where(succ >= 0, succ, E)]
         .set(True, mode="drop")
     )
-    in_chain = g.edge_valid
+    in_chain = edge_valid
     is_start = in_chain & ~has_pred
 
     # --- chain length broadcast: scatter d[start]+1 to the end edge slot ---
@@ -173,3 +186,49 @@ def unitig_chains(g: DeBruijnGraph, k: int) -> UnitigChains:
         from_cycle=on_cycle,
         in_chain=in_chain,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def unitig_chains(g: DeBruijnGraph, k: int) -> UnitigChains:
+    """Full chain computation; see module docstring."""
+    E = g.edge_limbs.shape[0]
+    rounds = _log2_ceil(E) + 1
+
+    succ0 = successor(g, k)
+    succ, on_cycle = cut_cycles(g, succ0, k)
+    d, end_edge = wyllie_rank(succ, rounds)
+    return _chains_from_rank(g.edge_valid, succ, d, end_edge, on_cycle)
+
+
+@jax.jit
+def _apply_cut(succ0, t, on_cycle, cyc_min):
+    is_cut = on_cycle & keys.key_eq(t, cyc_min)
+    return jnp.where(is_cut, -1, succ0)
+
+
+def unitig_chains_fast(g: DeBruijnGraph, k: int, min_edges: int = 1 << 17) -> UnitigChains:
+    """Chain computation via sparse-ruling-set ranking (euler/ranking.py).
+
+    Host-orchestrated (ruler capacities are picked from live counts), output
+    bit-identical to ``unitig_chains``. Falls back to the doubling path for
+    small graphs (fewer programs) and on the ranking module's rare overflow
+    returns. This is the main single-device pipeline's traversal: O(E) total
+    random-access work instead of doubling's O(E log E).
+    """
+    from tpu_euler.euler import ranking
+
+    E = g.edge_limbs.shape[0]
+    if E <= min_edges:
+        return unitig_chains(g, k)
+    succ0 = successor(g, k)
+    t = transition_keys(g, succ0, k)
+    res = ranking.cycle_min_ruling(succ0, g.edge_valid, t)
+    if res is None:
+        return unitig_chains(g, k)
+    on_cycle, cyc_min = res
+    succ = _apply_cut(succ0, t, on_cycle, cyc_min)
+    rr = ranking.rank_chains_ruling(succ, g.edge_valid)
+    if rr is None:
+        return unitig_chains(g, k)
+    d, end_edge = rr
+    return _chains_from_rank(g.edge_valid, succ, d, end_edge, on_cycle)

@@ -21,7 +21,7 @@ import numpy as np
 
 from tpu_euler.config import AssemblyConfig
 from tpu_euler.euler.extract import chains_to_contigs_device
-from tpu_euler.euler.unitigs import UnitigChains, unitig_chains
+from tpu_euler.euler.unitigs import unitig_chains_fast
 from tpu_euler.graph.build import DeBruijnGraph, build_graph
 from tpu_euler.io.encode import encode_reads
 from tpu_euler.kmer.count import (
@@ -80,14 +80,18 @@ def make_count_step(k: int, batch_capacity: int | None = None):
 
 
 def make_graph_step(k: int, min_count: int):
-    """Fused device step: cutoff -> graph -> chains."""
+    """Device step: cutoff -> graph (chains computed by the caller).
+
+    Chains use the host-orchestrated sparse-ruling-set path
+    (``unitig_chains_fast``) for large graphs — O(E) random-access work vs
+    doubling's O(E log E) — so they cannot live inside this jit.
+    """
 
     @jax.jit
-    def step(spec: Spectrum) -> tuple[DeBruijnGraph, UnitigChains, Spectrum]:
+    def step(spec: Spectrum) -> tuple[DeBruijnGraph, Spectrum]:
         cut = apply_cutoff(spec, min_count)
         g = build_graph(cut, k)
-        chains = unitig_chains(g, k)
-        return g, chains, cut
+        return g, cut
 
     return step
 
@@ -102,44 +106,70 @@ def assemble_reads(
 
 
 def make_extract_fill_step(k: int):
-    """Per-batch: extract+canonicalize and write into the one-shot key buffer.
+    """Per-batch: extract+canonicalize and write into the one-shot key buffers.
 
     Invalid windows become all-ones sentinel keys — for odd k no valid
     canonical key uses all 32 bits of limb 0, so the sentinel needs no separate
-    validity operand and sorts to the end for free.
+    validity operand and sorts to the end for free. The buffer is a tuple of
+    per-limb 1-D arrays: 2-D [T, L] device arrays risk the TPU T(8,128) tiled
+    layout padding the minor dim L->128 (64x memory), and every downstream op
+    (sort, scatter) is cheaper on flat lanes.
     """
     assert k % 16 != 0  # sentinel encoding requires spare bits in limb 0
 
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def step(codes: jax.Array, buf: jax.Array, start: jax.Array):
+    def step(codes: jax.Array, buf: tuple, start: jax.Array):
         limbs, valid = extract_canonical_kmers(codes, k)
         limbs = jnp.where(valid[:, None], limbs, jnp.uint32(0xFFFFFFFF))
-        buf = jax.lax.dynamic_update_slice(buf, limbs, (start, 0))
+        buf = tuple(
+            jax.lax.dynamic_update_slice(buf[j], limbs[:, j], (start,))
+            for j in range(limbs.shape[1])
+        )
         return buf, jnp.sum(valid.astype(jnp.int32))
 
     return step
 
 
 def make_oneshot_count(k: int, capacity: int):
-    """Sort the full key buffer once; dedup + count into a capacity spectrum."""
-    from tpu_euler.kmer import keys
-    from tpu_euler.kmer.count import segment_sums_sorted
+    """Sort the full key buffer once; dedup + count into a capacity spectrum.
+
+    Post-sort reduction is ONE row-index scatter plus capacity-sized gathers
+    (measured on the chip at bench scale: a 165M-row value scatter costs
+    ~1.4s, so scattering each segment start's ROW INDEX once and gathering
+    keys/counts at capacity scale beats scattering L key limbs + count bounds
+    by ~3s). Unit weights mean segment sums are just adjacent differences of
+    the segment-start row indices — no cumsum of weights at all.
+    """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def count(buf: jax.Array):
-        T, L = buf.shape
-        s = jax.lax.sort([buf[:, j] for j in range(L)], num_keys=L)
-        sl = jnp.stack(s, axis=-1)
+    def count(buf: tuple):
+        L = len(buf)
+        T = buf[0].shape[0]
+        s = jax.lax.sort(list(buf), num_keys=L)
         sv = s[0] != jnp.uint32(0xFFFFFFFF)
-        prev = jnp.roll(sl, 1, axis=0)
-        is_new = (~keys.key_eq(sl, prev)).at[0].set(True) & sv
+        is_new = jnp.zeros((T,), jnp.bool_)
+        for j in range(L):
+            is_new = is_new | (s[j] != jnp.roll(s[j], 1))
+        is_new = is_new.at[0].set(True) & sv
         seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
         n = jnp.sum(is_new.astype(jnp.int32))
-        counts = segment_sums_sorted(
-            is_new, seg, jnp.where(sv, 1, 0).astype(jnp.int32), capacity
+        n_valid = jnp.sum(sv.astype(jnp.int32))
+        # bounds[j] = first sorted row of segment j (n_valid past the last):
+        # counts fall out as adjacent differences, keys as gathers at bounds.
+        iota = jnp.arange(T, dtype=jnp.int32)
+        dest = jnp.where(is_new & (seg < capacity), seg, capacity + 1)
+        bounds = (
+            jnp.full((capacity + 1,), n_valid, jnp.int32)
+            .at[dest]
+            .set(iota, mode="drop")
         )
-        dest = jnp.where(is_new & (seg < capacity), seg, capacity)
-        uniq = jnp.zeros((capacity, L), jnp.uint32).at[dest].set(sl, mode="drop")
+        counts = bounds[1:] - bounds[:-1]
+        live = jnp.arange(capacity, dtype=jnp.int32) < n
+        src = jnp.clip(bounds[:capacity], 0, T - 1)
+        uniq = jnp.stack(
+            [jnp.where(live, s[j][src], 0) for j in range(L)], axis=-1
+        )
+        counts = jnp.where(live, counts, 0)
         return Spectrum(uniq, counts, jnp.minimum(n, capacity)), n > capacity
 
     return count
@@ -153,7 +183,9 @@ def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
     T = n_batches * Wb
     fill = make_extract_fill_step(cfg.k)
     oneshot = make_oneshot_count(cfg.k, cfg.spectrum_capacity)
-    buf = jnp.full((T, cfg.nlimbs), jnp.uint32(0xFFFFFFFF))
+    buf = tuple(
+        jnp.full((T,), jnp.uint32(0xFFFFFFFF)) for _ in range(cfg.nlimbs)
+    )
     n_windows = jnp.zeros((), jnp.int32)
     for b in range(n_batches):
         batch = codes_all[b * cfg.read_batch : (b + 1) * cfg.read_batch]
@@ -170,8 +202,9 @@ def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
     t1 = time.perf_counter()
     acc, over = oneshot(buf)
     n_windows = int(n_windows)  # D2H: forces real completion on the axon relay
+    over = bool(over)  # D2H: drains the global sort so count_drain is honest
     t["count_drain"] += time.perf_counter() - t1
-    if bool(over):
+    if over:
         raise RuntimeError(
             f"spectrum capacity {cfg.spectrum_capacity} overflowed: "
             f"raise AssemblyConfig.spectrum_capacity"
@@ -262,7 +295,8 @@ def spectrum_to_contigs(
         t["tips"] = time.perf_counter() - t1
         log.info("tip clipping removed %d k-mers", n_clipped)
     t2 = time.perf_counter()
-    g, chains, cut = graph_step(acc)
+    g, cut = graph_step(acc)
+    chains = unitig_chains_fast(g, cfg.k)
     jax.block_until_ready(chains)
     t["graph"] = time.perf_counter() - t2
 
