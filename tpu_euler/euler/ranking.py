@@ -212,50 +212,82 @@ def _walk_round(
     return s["owner_off"], succ2, next_r, end_e, hops, s["mmin"], capped, n_capped
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_tables(tabs: dict, base: jax.Array, frontier, next_r, end_e, hops, mmin):
+    """Write one round's ruler tables at [base : base+s_cap] — all on device.
+
+    Host<->device roundtrips per round would dominate through the axon TCP
+    relay, so rounds only ship ONE scalar (the capped-walk count) to host.
+    """
+    return dict(
+        elem=jax.lax.dynamic_update_slice(tabs["elem"], frontier, (base,)),
+        next_r=jax.lax.dynamic_update_slice(tabs["next_r"], next_r, (base,)),
+        end_e=jax.lax.dynamic_update_slice(tabs["end_e"], end_e, (base,)),
+        hops=jax.lax.dynamic_update_slice(tabs["hops"], hops, (base,)),
+        mmin=jax.lax.dynamic_update_slice(
+            tabs["mmin"], mmin, (base, jnp.zeros((), base.dtype))
+        ),
+    )
+
+
+def _empty_tables(S_cap: int, L: int):
+    return dict(
+        elem=jnp.full((S_cap,), -1, jnp.int32),
+        next_r=jnp.full((S_cap,), -1, jnp.int32),
+        end_e=jnp.full((S_cap,), -1, jnp.int32),
+        hops=jnp.zeros((S_cap,), jnp.int32),
+        mmin=jnp.full((S_cap, L), _SENT32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("S_cap",))
+def _grow_tables(tabs: dict, S_cap: int):
+    old = tabs["elem"].shape[0]
+    fresh = _empty_tables(S_cap, tabs["mmin"].shape[1])
+    return {
+        k: jax.lax.dynamic_update_slice(
+            fresh[k], v, (0,) * v.ndim
+        )
+        for k, v in tabs.items()
+    }
+
+
 def _run_walk(succ, valid, t, track_min, with_self):
-    """All walk rounds; returns (owner_off [E], host-concatenated ruler
-    tables, S_cap) or None on gid overflow."""
+    """All walk rounds; returns (owner_off [E], device ruler tables dict) or
+    (None, None) on gid overflow. Each round ships exactly one scalar to the
+    host (the capped-walk count that sizes the next round's pow2 shape)."""
     E = succ.shape[0]
     is_ruler, n_rulers = _pick_rulers(succ, valid, with_self)
     succ2 = _build_succ2(succ, is_ruler)
     s_cap = _pow2(int(n_rulers))
     owner_off = jnp.full((E,), _SENT32)
+    L = t.shape[1] if track_min else 0
     if not track_min:
         t = jnp.zeros((E, 0), jnp.uint32)
 
     frontier = _compact_rulers(is_ruler, s_cap)
     base = 0
-    tabs = {"elem": [], "next_r": [], "end_e": [], "hops": [], "mmin": []}
+    S_cap = _pow2(2 * s_cap)  # headroom for virtual rulers (~16% expected)
+    tabs = _empty_tables(S_cap, L)
     while True:
         if base + s_cap >= (1 << _GID_BITS):
-            return None, None, None
+            return None, None
+        if base + s_cap > S_cap:
+            S_cap = _pow2(base + s_cap)
+            tabs = _grow_tables(tabs, S_cap)
         owner_off, succ2, next_r, end_e, hops, mmin, capped, n_capped = _walk_round(
             succ2, t, frontier, jnp.uint32(base), owner_off, WALK_CAP, track_min
         )
-        tabs["elem"].append(np.asarray(frontier))
-        tabs["next_r"].append(np.asarray(next_r))
-        tabs["end_e"].append(np.asarray(end_e))
-        tabs["hops"].append(np.asarray(hops))
-        tabs["mmin"].append(np.asarray(mmin))
+        tabs = _append_tables(
+            tabs, jnp.asarray(base, jnp.int32), frontier, next_r, end_e, hops, mmin
+        )
         base += s_cap
         n = int(n_capped)
         if n == 0:
             break
         s_cap = _pow2(n)
         frontier = capped[:s_cap]
-
-    cat = {k: np.concatenate(v, axis=0) for k, v in tabs.items()}
-    S_cap = _pow2(base)
-    pad = S_cap - base
-    if pad:
-        cat["elem"] = np.pad(cat["elem"], (0, pad), constant_values=-1)
-        cat["next_r"] = np.pad(cat["next_r"], (0, pad), constant_values=-1)
-        cat["end_e"] = np.pad(cat["end_e"], (0, pad), constant_values=-1)
-        cat["hops"] = np.pad(cat["hops"], (0, pad))
-        cat["mmin"] = np.pad(
-            cat["mmin"], ((0, pad), (0, 0)), constant_values=0xFFFFFFFF
-        )
-    return owner_off, cat, S_cap
+    return owner_off, tabs
 
 
 @functools.partial(jax.jit, static_argnames=("E",))
@@ -388,15 +420,12 @@ def cycle_min_ruling(succ, valid, t):
     """(on_cycle [E], cycle-min transition key [E, L]) — semantics identical
     to the min-propagating doubling in ``unitigs.cut_cycles``. Returns None
     on gid overflow (caller falls back to doubling)."""
-    owner_off, cat, S_cap = _run_walk(succ, valid, t, track_min=True, with_self=True)
+    owner_off, tabs = _run_walk(succ, valid, t, track_min=True, with_self=True)
     if owner_off is None:
         return None
     E = succ.shape[0]
-    elem = jnp.asarray(cat["elem"])
-    succ_c = _contract_succ(elem, jnp.asarray(cat["next_r"]), E)
-    ruler_on_cycle, ruler_min = _contracted_cycle_min(
-        succ_c, jnp.asarray(cat["mmin"])
-    )
+    succ_c = _contract_succ(tabs["elem"], tabs["next_r"], E)
+    ruler_on_cycle, ruler_min = _contracted_cycle_min(succ_c, tabs["mmin"])
     on_cycle, cyc_min, uncovered = _broadcast_cycle(
         owner_off, ruler_on_cycle, ruler_min, succ
     )
@@ -413,16 +442,15 @@ def rank_chains_ruling(succ, valid):
     """(distance to chain end, end-edge label) per element of a cycle-free
     successor array — replaces ``unitigs.wyllie_rank``. Returns None if a
     cycle leaked through the cut or on gid overflow."""
-    owner_off, cat, S_cap = _run_walk(
+    owner_off, tabs = _run_walk(
         succ, valid, None, track_min=False, with_self=False
     )
     if owner_off is None:
         return None
     E = succ.shape[0]
-    elem = jnp.asarray(cat["elem"])
-    succ_c = _contract_succ(elem, jnp.asarray(cat["next_r"]), E)
+    succ_c = _contract_succ(tabs["elem"], tabs["next_r"], E)
     D, chain_end, has_cycle = _contracted_rank(
-        succ_c, jnp.asarray(cat["hops"]), jnp.asarray(cat["end_e"])
+        succ_c, tabs["hops"], tabs["end_e"]
     )
     d, end_edge, uncovered = _broadcast_rank(owner_off, D, chain_end, succ)
     if bool(has_cycle) or bool(jnp.any(uncovered)):

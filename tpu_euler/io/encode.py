@@ -62,6 +62,32 @@ def encode_reads_with_qual(
     return out
 
 
+def pack_codes_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack an [R, L] int8 code matrix for H2D transfer: 2.25 bits/base.
+
+    The axon TPU tunnel moves host->device bytes over TCP, so the 1-byte-per-
+    base code matrix dominates the encode stage at benchmark scale. Returns
+    (packed [R, ceil(L/4)] uint8 — 4 bases/byte little-endian within the byte,
+    nmask [R, ceil(L/8)] uint8 — 1 bit per base, set where the base is N/pad).
+    Device-side inverse: kmer.extract.unpack_codes.
+    """
+    R, L = codes.shape
+    L4, L8 = -(-L // 4), -(-L // 8)
+    c = (codes.astype(np.uint8) & 3).astype(np.uint8)
+    if L4 * 4 != L:
+        c = np.concatenate([c, np.zeros((R, L4 * 4 - L), np.uint8)], axis=1)
+    c = c.reshape(R, L4, 4)
+    packed = c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6)
+    isn = (codes >= 4) | (codes < 0)
+    if L8 * 8 != L:
+        isn = np.concatenate([isn, np.ones((R, L8 * 8 - L), bool)], axis=1)
+    isn = isn.reshape(R, L8, 8).astype(np.uint8)
+    nmask = isn[:, :, 0]
+    for b in range(1, 8):
+        nmask = nmask | (isn[:, :, b] << b)
+    return packed, nmask
+
+
 def decode_read(codes: np.ndarray) -> str:
     """Decode one int8 code row back to a string (pads stripped)."""
     codes = np.asarray(codes)

@@ -45,3 +45,20 @@ def extract_canonical_kmers(codes: jax.Array, k: int) -> tuple[jax.Array, jax.Ar
     limbs, valid = extract_kmers(codes, k)
     canon, _ = keys.canonical(limbs, k)
     return canon, valid
+
+
+@functools.partial(jax.jit, static_argnames=("read_len",))
+def unpack_codes(packed: jax.Array, nmask: jax.Array, read_len: int) -> jax.Array:
+    """Device-side inverse of io.encode.pack_codes_np: -> [R, read_len] int8.
+
+    XLA fuses the unpack shifts into the extraction windowing, so shipping
+    2.25 bits/base over the host->device tunnel costs no extra HBM pass.
+    """
+    R = packed.shape[0]
+    sh2 = jnp.arange(4, dtype=jnp.uint8) * 2
+    c = (packed[:, :, None] >> sh2[None, None, :]) & jnp.uint8(3)
+    c = c.reshape(R, -1)[:, :read_len]
+    sh1 = jnp.arange(8, dtype=jnp.uint8)
+    nb = (nmask[:, :, None] >> sh1[None, None, :]) & jnp.uint8(1)
+    nb = nb.reshape(R, -1)[:, :read_len]
+    return (c + nb * jnp.uint8(4)).astype(jnp.int8)

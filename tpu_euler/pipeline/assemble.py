@@ -30,7 +30,7 @@ from tpu_euler.kmer.count import (
     empty_spectrum,
     spectrum_overflowed,
 )
-from tpu_euler.kmer.extract import extract_canonical_kmers
+from tpu_euler.kmer.extract import extract_canonical_kmers, unpack_codes
 
 log = logging.getLogger("tpu_euler")
 
@@ -48,8 +48,8 @@ class AssemblyResult:
         return {c.decode() for c in self.contigs}
 
 
-def make_count_step(k: int, batch_capacity: int | None = None):
-    """Fused per-batch device step: extract + canonicalize + merge-count.
+def make_count_step(k: int, read_len: int):
+    """Fused per-batch device step: unpack + extract + canonicalize + count.
 
     Raw (unsorted) batch keys are merged straight into the accumulator with
     unit weights: ONE variadic sort over capacity+windows rows per batch.
@@ -58,10 +58,11 @@ def make_count_step(k: int, batch_capacity: int | None = None):
     Spectrum overflow is detected by the caller via ``spectrum_overflowed``.
     """
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def step(codes: jax.Array, acc: Spectrum):
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(packed: jax.Array, nmask: jax.Array, acc: Spectrum):
         from tpu_euler.kmer.count import _unique_counts
 
+        codes = unpack_codes(packed, nmask, read_len)
         limbs, valid = extract_canonical_kmers(codes, k)
         C = acc.limbs.shape[0]
         all_limbs = jnp.concatenate([acc.limbs, limbs], axis=0)
@@ -105,8 +106,8 @@ def assemble_reads(
     return assemble_codes(codes, cfg)
 
 
-def make_extract_fill_step(k: int):
-    """Per-batch: extract+canonicalize and write into the one-shot key buffers.
+def make_extract_fill_step(k: int, read_len: int):
+    """Per-batch: unpack + extract+canonicalize into the one-shot key buffers.
 
     Invalid windows become all-ones sentinel keys — for odd k no valid
     canonical key uses all 32 bits of limb 0, so the sentinel needs no separate
@@ -117,8 +118,9 @@ def make_extract_fill_step(k: int):
     """
     assert k % 16 != 0  # sentinel encoding requires spare bits in limb 0
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def step(codes: jax.Array, buf: tuple, start: jax.Array):
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(packed: jax.Array, nmask: jax.Array, buf: tuple, start: jax.Array):
+        codes = unpack_codes(packed, nmask, read_len)
         limbs, valid = extract_canonical_kmers(codes, k)
         limbs = jnp.where(valid[:, None], limbs, jnp.uint32(0xFFFFFFFF))
         buf = tuple(
@@ -175,13 +177,32 @@ def make_oneshot_count(k: int, capacity: int):
     return count
 
 
+def _pack_batch(batch, cfg: AssemblyConfig):
+    """Pad a host batch to the static batch shape and 2-bit-pack it for H2D.
+
+    The axon tunnel ships H2D bytes over TCP; 2.25 bits/base (packed codes +
+    N bitmap, io/encode.py:pack_codes_np) instead of 8 cuts the dominant
+    transfer ~3.5x. Device-side unpack fuses into extraction.
+    """
+    from tpu_euler.io.encode import pack_codes_np
+
+    batch = np.asarray(batch)
+    if batch.shape[0] < cfg.read_batch:  # pad final batch to static shape
+        pad = np.full(
+            (cfg.read_batch - batch.shape[0], cfg.read_len), 4, np.int8
+        )
+        batch = np.concatenate([batch, pad], axis=0)
+    packed, nmask = pack_codes_np(batch)
+    return jnp.asarray(packed), jnp.asarray(nmask)
+
+
 def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
     """One-shot counting: buffer every batch's canonical keys, sort once."""
     n_reads = codes_all.shape[0]
     Wb = cfg.read_batch * cfg.windows_per_read
     n_batches = max(1, -(-n_reads // cfg.read_batch))
     T = n_batches * Wb
-    fill = make_extract_fill_step(cfg.k)
+    fill = make_extract_fill_step(cfg.k, cfg.read_len)
     oneshot = make_oneshot_count(cfg.k, cfg.spectrum_capacity)
     buf = tuple(
         jnp.full((T,), jnp.uint32(0xFFFFFFFF)) for _ in range(cfg.nlimbs)
@@ -190,12 +211,9 @@ def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
     for b in range(n_batches):
         batch = codes_all[b * cfg.read_batch : (b + 1) * cfg.read_batch]
         t0 = time.perf_counter()
-        if batch.shape[0] < cfg.read_batch:
-            pad = np.full((cfg.read_batch - batch.shape[0], cfg.read_len), 4, np.int8)
-            batch = np.concatenate([batch, pad], axis=0)
-        codes = jnp.asarray(batch)
+        packed, nmask = _pack_batch(batch, cfg)
         t1 = time.perf_counter()
-        buf, nw = fill(codes, buf, jnp.asarray(b * Wb, jnp.int32))
+        buf, nw = fill(packed, nmask, buf, jnp.asarray(b * Wb, jnp.int32))
         n_windows = n_windows + nw
         t["encode"] += t1 - t0
         t["count"] += time.perf_counter() - t1
@@ -232,7 +250,7 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
     )
     if cfg.oneshot_rows and total_windows <= cfg.oneshot_rows and cfg.k % 16 != 0:
         return count_spectrum_oneshot(codes_all, cfg, t)
-    count_step = make_count_step(cfg.k)
+    count_step = make_count_step(cfg.k, cfg.read_len)
     acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
     n_reads = codes_all.shape[0]
     n_windows = jnp.zeros((), jnp.int32)
@@ -241,12 +259,9 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
     for i in range(0, max(n_reads, 1), cfg.read_batch):
         batch = codes_all[i : i + cfg.read_batch]
         t0 = time.perf_counter()
-        if batch.shape[0] < cfg.read_batch:  # pad final batch to static shape
-            pad = np.full((cfg.read_batch - batch.shape[0], cfg.read_len), 4, np.int8)
-            batch = np.concatenate([batch, pad], axis=0)
-        codes = jnp.asarray(batch)
+        packed, nmask = _pack_batch(batch, cfg)
         t1 = time.perf_counter()
-        acc, nw, ov = count_step(codes, acc)
+        acc, nw, ov = count_step(packed, nmask, acc)
         n_windows = n_windows + nw
         over = over | ov
         t["encode"] += t1 - t0
