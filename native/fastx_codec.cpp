@@ -14,6 +14,9 @@
 #include <cstdio>
 #include <cstring>
 
+#include <thread>
+#include <vector>
+
 #include <fcntl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
@@ -213,6 +216,56 @@ int64_t fa_encode(const char* path, int8_t* out, int64_t max_reads,
   }
   unmap(m);
   return r;
+}
+
+// Pack an [R, L] int8 code matrix for H2D transfer (2.25 bits/base): packed
+// [R, ceil(L/4)] uint8 little-endian 2-bit groups, nmask [R, ceil(L/8)] uint8
+// 1 bit per base set where the code is N/pad (>=4 or <0). Bit-compatible with
+// the numpy reference tpu_euler/io/encode.py:pack_codes_np (pads past L count
+// as N). Threaded over row blocks; the numpy path costs ~150 ms per 2^18x100
+// batch on this host, which is on the benchmark's critical path.
+void pack_codes(const int8_t* codes, int64_t R, int32_t L, uint8_t* packed,
+                uint8_t* nmask, int32_t n_threads) {
+  const int32_t L4 = (L + 3) / 4, L8 = (L + 7) / 8;
+  if (n_threads < 1) n_threads = 1;
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r) {
+      const int8_t* row = codes + r * (int64_t)L;
+      uint8_t* prow = packed + r * (int64_t)L4;
+      uint8_t* nrow = nmask + r * (int64_t)L8;
+      for (int32_t j = 0; j < L4; ++j) {
+        uint8_t acc = 0;
+        const int32_t base = 4 * j;
+        const int32_t lim = (L - base) < 4 ? (L - base) : 4;
+        for (int32_t b = 0; b < lim; ++b)
+          acc |= (uint8_t)(row[base + b] & 3) << (2 * b);
+        prow[j] = acc;
+      }
+      for (int32_t j = 0; j < L8; ++j) {
+        uint8_t acc = 0;
+        const int32_t base = 8 * j;
+        for (int32_t b = 0; b < 8; ++b) {
+          const int32_t i = base + b;
+          const bool n = (i >= L) || (row[i] >= 4) || (row[i] < 0);
+          acc |= (uint8_t)(n ? 1 : 0) << b;
+        }
+        nrow[j] = acc;
+      }
+    }
+  };
+  if (n_threads == 1 || R < 4096) {
+    work(0, R);
+    return;
+  }
+  std::vector<std::thread> ts;
+  const int64_t step = (R + n_threads - 1) / n_threads;
+  for (int32_t t = 0; t < n_threads; ++t) {
+    const int64_t r0 = t * step;
+    const int64_t r1 = (r0 + step) < R ? (r0 + step) : R;
+    if (r0 >= r1) break;
+    ts.emplace_back(work, r0, r1);
+  }
+  for (auto& th : ts) th.join();
 }
 
 }  // extern "C"

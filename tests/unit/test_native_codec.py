@@ -63,3 +63,21 @@ def test_padding_and_ns(tmp_path):
             f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
     got = encode_file_native(str(path), read_len=90)
     np.testing.assert_array_equal(got, encode_reads(seqs, 90))
+
+
+def test_pack_codes_native_matches_numpy():
+    from tpu_euler.io.encode import pack_codes_np
+    from tpu_euler.io.native import native_available, pack_codes_native
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(7)
+    for R, L in [(1, 1), (3, 7), (17, 100), (5000, 101)]:
+        codes = rng.integers(0, 5, (R, L)).astype(np.int8)
+        codes[0, -1] = 4  # force an N
+        p_n, m_n = pack_codes_native(codes, n_threads=4)
+        p_py, m_py = pack_codes_np(codes)
+        np.testing.assert_array_equal(p_n, p_py)
+        np.testing.assert_array_equal(m_n, m_py)

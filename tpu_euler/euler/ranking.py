@@ -99,10 +99,26 @@ def _compact_rulers(is_ruler: jax.Array, s_cap: int):
     return jnp.full((s_cap,), -1, jnp.int32).at[dest].set(eid, mode="drop")
 
 
+@jax.jit
+def _build_rows(succ2: jax.Array, t: jax.Array) -> jax.Array:
+    """Pack (succ2, t) into one [E, 1+L] uint32 row array (or [E] when L==0).
+
+    The min-tracking walk chases pointers — each hop needs succ2[x] AND t[x]
+    of the element it just entered. Random-gather TRANSACTIONS dominate on TPU
+    HBM (PERF.md rule 1), so fusing both into one row halves that walk's
+    gather cost. succ2 is stored bitcast int32->uint32 (modular), recovered
+    exactly on read. Without min tracking the array stays 1-D: a [E, 1] shape
+    pays TPU tiled-layout padding on the minor axis for no fusion benefit
+    (measured: the rank walk is ~45% slower on [E, 1] rows).
+    """
+    if t.shape[1] == 0:
+        return succ2.astype(jnp.uint32)
+    return jnp.concatenate([succ2.astype(jnp.uint32)[:, None], t], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("track_min", "walk_cap"))
 def _walk_round(
-    succ2: jax.Array,
-    t: jax.Array,
+    rows: jax.Array,
     frontier: jax.Array,
     gid_base: jax.Array,
     owner_off: jax.Array,
@@ -111,14 +127,17 @@ def _walk_round(
 ):
     """One capped lockstep walk round from ``frontier`` (element ids, -1 pad).
 
-    Returns (owner_off, succ2, next_r, end_e, hops, span_min, capped, n_capped):
+    ``rows`` is the packed [E, 1+L] (succ2, t) array from ``_build_rows``.
+    Returns (owner_off, rows, next_r, end_e, hops, span_min, capped, n_capped):
     per-slot next ruler element id (-1 none), chain-end element id (-1 none),
     hop count to the recorded stop, span min key; ``capped`` = compacted
-    continuation element ids (new virtual rulers) for the next round.
+    continuation element ids (new virtual rulers) for the next round. Each
+    walk iteration costs exactly ONE [s_cap, 1+L] row gather + one scatter:
+    the successor value for the element just entered rides in the same row as
+    its transition key, carried in the loop state for the next iteration.
     """
-    E = succ2.shape[0]
+    E = rows.shape[0]
     s_cap = frontier.shape[0]
-    L = t.shape[1] if track_min else 0
     gid = gid_base + jnp.arange(s_cap, dtype=jnp.uint32)
 
     live0 = frontier >= 0
@@ -127,13 +146,17 @@ def _walk_round(
     owner_off = owner_off.at[jnp.where(live0, frontier, E)].set(
         gid << jnp.uint32(8), mode="drop"
     )
+    rows0 = rows[f_c]
+    succ_col = rows0[:, 0] if track_min else rows0
+    raw0 = jnp.where(live0, succ_col.astype(jnp.int32), -1)
     if track_min:
-        m0 = jnp.where(live0[:, None], t[f_c], _SENT32)
+        m0 = jnp.where(live0[:, None], rows0[:, 1:], _SENT32)
     else:
         m0 = jnp.zeros((s_cap, 0), jnp.uint32)
 
     state = dict(
         x=jnp.where(live0, frontier, -1),
+        raw=raw0,  # succ2[x], gathered when x was entered
         step=jnp.zeros((s_cap,), jnp.int32),
         next_r=jnp.full((s_cap,), -1, jnp.int32),
         end_e=jnp.full((s_cap,), -1, jnp.int32),
@@ -147,9 +170,8 @@ def _walk_round(
         return (s["it"] < walk_cap) & jnp.any(s["x"] >= 0)
 
     def body(s):
-        x = s["x"]
+        x, raw = s["x"], s["raw"]
         alive = x >= 0
-        raw = succ2[jnp.clip(x, 0, E - 1)]
         stop_ruler = alive & (raw <= -2)
         stop_end = alive & (raw == -1)
         advance = alive & (raw >= 0)
@@ -164,16 +186,18 @@ def _walk_round(
         owner_off = s["owner_off"].at[vdest].set(
             (gid << jnp.uint32(8)) | step1.astype(jnp.uint32), mode="drop"
         )
+        rows_g = rows[jnp.clip(x1, 0, E - 1)]  # the ONE gather per hop
+        succ_g = rows_g[:, 0] if track_min else rows_g
+        raw1 = jnp.where(advance, succ_g.astype(jnp.int32), -1)
         if track_min:
-            tn = jnp.where(
-                advance[:, None], t[jnp.clip(x1, 0, E - 1)], _SENT32
-            )
+            tn = jnp.where(advance[:, None], rows_g[:, 1:], _SENT32)
             take = keys.key_less(tn, s["mmin"])
             mmin = jnp.where(take[:, None], tn, s["mmin"])
         else:
             mmin = s["mmin"]
         return dict(
             x=x1,
+            raw=raw1,
             step=step1,
             next_r=next_r,
             end_e=end_e,
@@ -185,10 +209,9 @@ def _walk_round(
 
     s = jax.lax.while_loop(cond, body, state)
 
-    # classify walks still alive at the cap
-    x, step = s["x"], s["step"]
+    # classify walks still alive at the cap (their succ2 is already in state)
+    x, step, raw = s["x"], s["step"], s["raw"]
     alive = x >= 0
-    raw = succ2[jnp.clip(x, 0, E - 1)]
     cap_ruler = alive & (raw <= -2)
     cap_end = alive & (raw == -1)
     cap_cont = alive & (raw >= 0)
@@ -199,9 +222,12 @@ def _walk_round(
     )
     # continuation elements become next round's rulers; patch succ2 at their
     # (unique) predecessor so later walks stop there.
-    succ2 = succ2.at[jnp.where(cap_cont, x, E)].set(
-        jnp.where(cap_cont, -2 - raw, 0), mode="drop"
-    )
+    patch_dest = jnp.where(cap_cont, x, E)
+    patch_val = jnp.where(cap_cont, -2 - raw, 0).astype(jnp.uint32)
+    if track_min:
+        rows = rows.at[patch_dest, 0].set(patch_val, mode="drop")
+    else:
+        rows = rows.at[patch_dest].set(patch_val, mode="drop")
     cslot = jnp.cumsum(cap_cont.astype(jnp.int32)) - 1
     capped = (
         jnp.full((s_cap,), -1, jnp.int32)
@@ -209,7 +235,7 @@ def _walk_round(
         .set(jnp.where(cap_cont, raw, -1), mode="drop")
     )
     n_capped = jnp.sum(cap_cont.astype(jnp.int32))
-    return s["owner_off"], succ2, next_r, end_e, hops, s["mmin"], capped, n_capped
+    return s["owner_off"], rows, next_r, end_e, hops, s["mmin"], capped, n_capped
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -264,6 +290,7 @@ def _run_walk(succ, valid, t, track_min, with_self):
     L = t.shape[1] if track_min else 0
     if not track_min:
         t = jnp.zeros((E, 0), jnp.uint32)
+    rows = _build_rows(succ2, t)
 
     frontier = _compact_rulers(is_ruler, s_cap)
     base = 0
@@ -275,8 +302,8 @@ def _run_walk(succ, valid, t, track_min, with_self):
         if base + s_cap > S_cap:
             S_cap = _pow2(base + s_cap)
             tabs = _grow_tables(tabs, S_cap)
-        owner_off, succ2, next_r, end_e, hops, mmin, capped, n_capped = _walk_round(
-            succ2, t, frontier, jnp.uint32(base), owner_off, WALK_CAP, track_min
+        owner_off, rows, next_r, end_e, hops, mmin, capped, n_capped = _walk_round(
+            rows, frontier, jnp.uint32(base), owner_off, WALK_CAP, track_min
         )
         tabs = _append_tables(
             tabs, jnp.asarray(base, jnp.int32), frontier, next_r, end_e, hops, mmin

@@ -88,6 +88,14 @@ def pack_codes_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return packed, nmask
 
 
+def pack_codes(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """2.25-bit pack for H2D transfer; native threaded codec, numpy fallback."""
+    from tpu_euler.io.native import pack_codes_native
+
+    out = pack_codes_native(codes)
+    return out if out is not None else pack_codes_np(codes)
+
+
 def decode_read(codes: np.ndarray) -> str:
     """Decode one int8 code row back to a string (pads stripped)."""
     codes = np.asarray(codes)

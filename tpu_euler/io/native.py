@@ -70,6 +70,15 @@ def _load():
                 ctypes.c_int32,
                 ctypes.c_int32,
             ]
+            lib.pack_codes.restype = None
+            lib.pack_codes.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_int32,
+            ]
             _lib = lib
         except Exception as e:
             log.info("native fastx codec unavailable (%s); using Python parser", e)
@@ -116,3 +125,25 @@ def encode_file_native(
     if r < 0:
         return None
     return out[:r]
+
+
+def pack_codes_native(
+    codes: np.ndarray, n_threads: int = 0
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Threaded native 2.25-bit pack; bit-identical to encode.pack_codes_np.
+
+    Returns None if the codec is unavailable — caller falls back to numpy.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    R, L = codes.shape
+    packed = np.empty((R, -(-L // 4)), dtype=np.uint8)
+    nmask = np.empty((R, -(-L // 8)), dtype=np.uint8)
+    if n_threads <= 0:
+        n_threads = min(16, os.cpu_count() or 1)
+    lib.pack_codes(
+        codes.ctypes.data, R, L, packed.ctypes.data, nmask.ctypes.data, n_threads
+    )
+    return packed, nmask

@@ -181,10 +181,11 @@ def _pack_batch(batch, cfg: AssemblyConfig):
     """Pad a host batch to the static batch shape and 2-bit-pack it for H2D.
 
     The axon tunnel ships H2D bytes over TCP; 2.25 bits/base (packed codes +
-    N bitmap, io/encode.py:pack_codes_np) instead of 8 cuts the dominant
-    transfer ~3.5x. Device-side unpack fuses into extraction.
+    N bitmap, io/encode.py:pack_codes) instead of 8 cuts the dominant
+    transfer ~3.5x. Packing runs in the native threaded codec when available
+    (numpy fallback). Device-side unpack fuses into extraction.
     """
-    from tpu_euler.io.encode import pack_codes_np
+    from tpu_euler.io.encode import pack_codes
 
     batch = np.asarray(batch)
     if batch.shape[0] < cfg.read_batch:  # pad final batch to static shape
@@ -192,8 +193,35 @@ def _pack_batch(batch, cfg: AssemblyConfig):
             (cfg.read_batch - batch.shape[0], cfg.read_len), 4, np.int8
         )
         batch = np.concatenate([batch, pad], axis=0)
-    packed, nmask = pack_codes_np(batch)
+    packed, nmask = pack_codes(batch)
     return jnp.asarray(packed), jnp.asarray(nmask)
+
+
+def _batch_feed(codes_all, cfg: AssemblyConfig, depth: int = 2):
+    """Yield per-batch (packed, nmask) device arrays, prepared ahead of time.
+
+    A single worker thread packs batch b+depth (native codec) and stages its
+    H2D transfer while the main thread dispatches batch b's device step — the
+    host-side encode cost overlaps device compute instead of serializing the
+    pipeline. One worker keeps batches ordered and bounds host memory to
+    ``depth`` staged batches.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_reads = codes_all.shape[0]
+    n_batches = max(1, -(-n_reads // cfg.read_batch))
+
+    def prep(b: int):
+        return _pack_batch(
+            codes_all[b * cfg.read_batch : (b + 1) * cfg.read_batch], cfg
+        )
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        futs = {b: ex.submit(prep, b) for b in range(min(depth, n_batches))}
+        for b in range(n_batches):
+            if b + depth < n_batches:
+                futs[b + depth] = ex.submit(prep, b + depth)
+            yield futs.pop(b).result()
 
 
 def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
@@ -208,10 +236,10 @@ def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
         jnp.full((T,), jnp.uint32(0xFFFFFFFF)) for _ in range(cfg.nlimbs)
     )
     n_windows = jnp.zeros((), jnp.int32)
+    feed = _batch_feed(codes_all, cfg)
     for b in range(n_batches):
-        batch = codes_all[b * cfg.read_batch : (b + 1) * cfg.read_batch]
         t0 = time.perf_counter()
-        packed, nmask = _pack_batch(batch, cfg)
+        packed, nmask = next(feed)  # wait for the prefetcher ("encode" time)
         t1 = time.perf_counter()
         buf, nw = fill(packed, nmask, buf, jnp.asarray(b * Wb, jnp.int32))
         n_windows = n_windows + nw
@@ -256,16 +284,12 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
     n_windows = jnp.zeros((), jnp.int32)
     over = jnp.zeros((), jnp.bool_)
 
-    for i in range(0, max(n_reads, 1), cfg.read_batch):
-        batch = codes_all[i : i + cfg.read_batch]
+    for packed, nmask in _batch_feed(codes_all, cfg):
         t0 = time.perf_counter()
-        packed, nmask = _pack_batch(batch, cfg)
-        t1 = time.perf_counter()
         acc, nw, ov = count_step(packed, nmask, acc)
         n_windows = n_windows + nw
         over = over | ov
-        t["encode"] += t1 - t0
-        t["count"] += time.perf_counter() - t1
+        t["count"] += time.perf_counter() - t0
 
     t1 = time.perf_counter()
     n_windows = int(n_windows)  # D2H: forces real completion on the axon relay
