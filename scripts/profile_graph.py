@@ -7,7 +7,11 @@ no-op through the axon relay). Run twice internally: warm-up then timed.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tpu_euler.utils.runtime import setup_compilation_cache
 
@@ -79,6 +83,10 @@ def main():
 
         t0 = time.perf_counter()
         res = ranking.cycle_min_ruling(succ0, g.edge_valid, tk)
+        if res is None:
+            print("cycle_min_ruling fell back (gid overflow); doubling path "
+                  "would run instead — nothing ruling-set to profile", flush=True)
+            return
         on_cycle, cyc_min = res
         sync(on_cycle)
         t["cycle_min_ruling"] = time.perf_counter() - t0
@@ -89,7 +97,12 @@ def main():
         t["apply_cut"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        d, end_edge = ranking.rank_chains_ruling(succ, g.edge_valid)
+        rr = ranking.rank_chains_ruling(succ, g.edge_valid)
+        if rr is None:
+            print("rank_chains_ruling fell back (gid overflow); doubling path "
+                  "would run instead — nothing ruling-set to profile", flush=True)
+            return
+        d, end_edge = rr
         sync(d)
         t["rank_chains_ruling"] = time.perf_counter() - t0
 

@@ -197,6 +197,12 @@ def _pack_batch(batch, cfg: AssemblyConfig):
     return jnp.asarray(packed), jnp.asarray(nmask)
 
 
+def _n_batches(codes_all, cfg: AssemblyConfig) -> int:
+    """THE batch-count formula — shared by the feed and both counting paths
+    so they can never desync (a mismatch would drop or duplicate batches)."""
+    return max(1, -(-codes_all.shape[0] // cfg.read_batch))
+
+
 def _batch_feed(codes_all, cfg: AssemblyConfig, depth: int = 2):
     """Yield per-batch (packed, nmask) device arrays, prepared ahead of time.
 
@@ -204,12 +210,12 @@ def _batch_feed(codes_all, cfg: AssemblyConfig, depth: int = 2):
     H2D transfer while the main thread dispatches batch b's device step — the
     host-side encode cost overlaps device compute instead of serializing the
     pipeline. One worker keeps batches ordered and bounds host memory to
-    ``depth`` staged batches.
+    ``depth`` staged batches. Callers that don't exhaust the generator must
+    ``close()`` it so the executor's with-block exits promptly.
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    n_reads = codes_all.shape[0]
-    n_batches = max(1, -(-n_reads // cfg.read_batch))
+    n_batches = _n_batches(codes_all, cfg)
 
     def prep(b: int):
         return _pack_batch(
@@ -226,9 +232,8 @@ def _batch_feed(codes_all, cfg: AssemblyConfig, depth: int = 2):
 
 def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
     """One-shot counting: buffer every batch's canonical keys, sort once."""
-    n_reads = codes_all.shape[0]
     Wb = cfg.read_batch * cfg.windows_per_read
-    n_batches = max(1, -(-n_reads // cfg.read_batch))
+    n_batches = _n_batches(codes_all, cfg)
     T = n_batches * Wb
     fill = make_extract_fill_step(cfg.k, cfg.read_len)
     oneshot = make_oneshot_count(cfg.k, cfg.spectrum_capacity)
@@ -237,14 +242,17 @@ def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
     )
     n_windows = jnp.zeros((), jnp.int32)
     feed = _batch_feed(codes_all, cfg)
-    for b in range(n_batches):
-        t0 = time.perf_counter()
-        packed, nmask = next(feed)  # wait for the prefetcher ("encode" time)
-        t1 = time.perf_counter()
-        buf, nw = fill(packed, nmask, buf, jnp.asarray(b * Wb, jnp.int32))
-        n_windows = n_windows + nw
-        t["encode"] += t1 - t0
-        t["count"] += time.perf_counter() - t1
+    try:
+        for b in range(n_batches):
+            t0 = time.perf_counter()
+            packed, nmask = next(feed)  # wait for the prefetcher ("encode" time)
+            t1 = time.perf_counter()
+            buf, nw = fill(packed, nmask, buf, jnp.asarray(b * Wb, jnp.int32))
+            n_windows = n_windows + nw
+            t["encode"] += t1 - t0
+            t["count"] += time.perf_counter() - t1
+    finally:
+        feed.close()
     t1 = time.perf_counter()
     acc, over = oneshot(buf)
     n_windows = int(n_windows)  # D2H: forces real completion on the axon relay
@@ -272,24 +280,29 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
     t.setdefault("encode", 0.0)
     t.setdefault("count", 0.0)
     t.setdefault("count_drain", 0.0)
-    n_reads = codes_all.shape[0]
-    total_windows = max(1, -(-n_reads // cfg.read_batch)) * (
+    total_windows = _n_batches(codes_all, cfg) * (
         cfg.read_batch * cfg.windows_per_read
     )
     if cfg.oneshot_rows and total_windows <= cfg.oneshot_rows and cfg.k % 16 != 0:
         return count_spectrum_oneshot(codes_all, cfg, t)
     count_step = make_count_step(cfg.k, cfg.read_len)
     acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
-    n_reads = codes_all.shape[0]
     n_windows = jnp.zeros((), jnp.int32)
     over = jnp.zeros((), jnp.bool_)
 
-    for packed, nmask in _batch_feed(codes_all, cfg):
-        t0 = time.perf_counter()
-        acc, nw, ov = count_step(packed, nmask, acc)
-        n_windows = n_windows + nw
-        over = over | ov
-        t["count"] += time.perf_counter() - t0
+    feed = _batch_feed(codes_all, cfg)
+    try:
+        for _ in range(_n_batches(codes_all, cfg)):
+            t0 = time.perf_counter()
+            packed, nmask = next(feed)  # prefetcher wait = host encode time
+            t1 = time.perf_counter()
+            acc, nw, ov = count_step(packed, nmask, acc)
+            n_windows = n_windows + nw
+            over = over | ov
+            t["encode"] += t1 - t0
+            t["count"] += time.perf_counter() - t1
+    finally:
+        feed.close()
 
     t1 = time.perf_counter()
     n_windows = int(n_windows)  # D2H: forces real completion on the axon relay
