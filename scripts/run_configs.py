@@ -7,7 +7,13 @@ every configuration keeps its DISTINGUISHING shape: k, error model, cutoff,
 mesh/sharding mode, and key width. Each run asserts contig-set equality
 against the CPU oracle.
 
-Usage: python scripts/run_configs.py [--scale 1.0] [--full]
+Usage: python scripts/run_configs.py [--scale 1.0] [--out results.json]
+
+Runs on CPU JAX with 8 virtual devices by default (the meshed configs need
+2/8 devices and this box has ONE real TPU chip behind the axon relay, whose
+sitecustomize force-registers the TPU platform — the conftest-style override
+below is required for the script to be runnable here at all). Pass
+--platform default to keep whatever backend JAX picks.
 """
 
 from __future__ import annotations
@@ -25,7 +31,21 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=0.01,
                     help="genome-size scale factor vs the SPEC organisms")
+    ap.add_argument("--out", default="",
+                    help="write per-config result JSON lines to this file")
+    ap.add_argument("--platform", choices=["cpu", "default"], default="cpu",
+                    help="cpu (default): force CPU JAX + 8 virtual devices")
     args = ap.parse_args()
+
+    if args.platform == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from tpu_euler.config import AssemblyConfig
     from tpu_euler.dist.pipeline import assemble_reads_distributed
@@ -60,6 +80,7 @@ def main() -> int:
     ]
 
     all_ok = True
+    results = []
     for c in configs:
         reads = simulate_reads(
             c["genome"], read_len=100, coverage=c["cov"], seed=42,
@@ -83,15 +104,21 @@ def main() -> int:
         )
         ok = canonical_contig_set(res.contig_strings) == oracle
         all_ok &= ok
-        print(json.dumps({
+        rec = {
             "config": c["name"],
             "genome_bp": len(c["genome"]),
             "reads": res.n_reads,
             "contigs": len(res.contigs),
             "oracle_equal": ok,
             "wall_s": round(wall, 2),
-        }))
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
     print("ALL CONFIGS:", "PASS" if all_ok else "FAIL")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"scale": s, "all_pass": all_ok, "configs": results}, f,
+                      indent=2)
     return 0 if all_ok else 1
 
 

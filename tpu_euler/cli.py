@@ -122,23 +122,22 @@ def _run_tour(args) -> int:
     chain = np.asarray(tour.chain)[valid]
     pos = np.asarray(tour.pos)[valid]
     length = np.asarray(tour.length)[valid]
-    succ = np.asarray(tour.succ)[valid]
     uchain, inv = np.unique(chain, return_inverse=True)
     chain_lens = np.zeros(uchain.size, dtype=np.int64)
     np.maximum.at(chain_lens, inv, length)
-    is_circuit = np.zeros(uchain.size, dtype=bool)  # closed = last edge had cut
+    # every edge used exactly once <=> (chain, pos) pairs are all distinct
+    every_edge_once = (
+        np.unique(np.stack([chain, pos], axis=1), axis=0).shape[0]
+        == int(valid.sum())
+    )
     metrics = {
         "edges": int(valid.sum()),
         "nodes": int(g.n_nodes),
         "chains": int(tour.n_chains),
         "longest_chain_edges": int(chain_lens.max(initial=0)),
-        "every_edge_once": bool(
-            len({(c, p) for c, p in zip(chain.tolist(), pos.tolist())})
-            == valid.sum()
-        ),
+        "every_edge_once": bool(every_edge_once),
         "wall_s": round(time.perf_counter() - t0, 3),
     }
-    del is_circuit, succ
     print(json.dumps(metrics))
 
     if args.out:
@@ -147,13 +146,15 @@ def _run_tour(args) -> int:
         limbs = np.asarray(g.edge_limbs)[valid]
         _b = np.frombuffer(b"ACGT", dtype=np.uint8)
         lastb = _b[(limbs[:, -1] & 3).astype(np.int64)]
+        # edges of chain c occupy order[bnd[c]:bnd[c+1]] — no per-chain scans
         order = np.lexsort((pos, chain))
-        walks = []
-        for cid in uchain:
-            edges = order[chain[order] == cid]
-            prefix = decode_bases_np(limbs[edges[0]][None, :], args.k - 1, args.k)
-            s = prefix.tobytes().decode() + "".join(chr(lastb[e]) for e in edges)
-            walks.append(s)
+        bnd = np.concatenate([[0], np.cumsum(np.bincount(inv, minlength=uchain.size))])
+        prefixes = decode_bases_np(limbs[order[bnd[:-1]]], args.k - 1, args.k)
+        walks = [
+            prefixes[c].tobytes().decode()
+            + lastb[order[bnd[c] : bnd[c + 1]]].tobytes().decode()
+            for c in range(uchain.size)
+        ]
         walks.sort(key=len, reverse=True)
         write_fasta(args.out, walks, prefix="walk")
     return 0

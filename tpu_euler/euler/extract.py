@@ -38,6 +38,37 @@ def rc_bytes(seq: np.ndarray) -> np.ndarray:
     return _RC_TABLE[seq][::-1]
 
 
+def canonicalize_contig_buffer(buf: np.ndarray, off: np.ndarray) -> set[bytes]:
+    """Canonical contig set from a flat ASCII base buffer + [n+1] offsets.
+
+    Fully vectorized canonicalization (min of sequence and reverse complement
+    per contig) — no per-contig numpy work, so emission stays fast when a
+    fragmented assembly produces millions of unitigs (SURVEY.md R10/R11):
+    the reverse complement of contig c at global byte j is the complement of
+    the mirrored byte off[c] + off[c+1] - 1 - j, computed for ALL contigs with
+    one gather; fwd-vs-rc is decided by each contig's first fwd/rc mismatch
+    (flatnonzero + searchsorted, no Python loop). Only the final set of
+    ``bytes`` objects is built per contig.
+    """
+    n = off.size - 1
+    if n == 0:
+        return set()
+    total = int(off[-1])
+    lens = np.diff(off)
+    cid = np.repeat(np.arange(n, dtype=np.int64), lens)
+    j = np.arange(total, dtype=np.int64)
+    mirror = off[cid] + off[cid + 1] - 1 - j
+    comp = _RC_TABLE[buf[mirror]]  # comp[j] = rc(contig)[local j]
+    neq = np.flatnonzero(buf != comp)
+    pos = np.searchsorted(neq, off[:-1])
+    cand = neq[np.minimum(pos, max(neq.size - 1, 0))] if neq.size else np.zeros(n, np.int64)
+    has = (pos < neq.size) & (cand < off[1:])
+    take_rc = np.zeros(n, bool)
+    take_rc[has] = comp[cand[has]] < buf[cand[has]]
+    out = np.where(take_rc[cid], comp, buf)
+    return {out[off[c] : off[c + 1]].tobytes() for c in range(n)}
+
+
 def decode_bases_np(limbs: np.ndarray, n_bases: int, k: int) -> np.ndarray:
     """Decode the FIRST n_bases of right-aligned 2k-bit keys. [N, L] -> [N, n_bases]."""
     N, L = limbs.shape
@@ -155,19 +186,15 @@ def chains_to_contigs_device(
         return np.asarray(arr[:m])[:n]
 
     buf = _pad_slice(em.buf, total)
-    off = _pad_slice(em.chain_off, n_chains, 1 << 14)
-    lens = _pad_slice(em.chain_len, n_chains, 1 << 14)
+    off = _pad_slice(em.chain_off, n_chains, 1 << 14).astype(np.int64)
+    lens = _pad_slice(em.chain_len, n_chains, 1 << 14).astype(np.int64)
     start_limbs = _pad_slice(em.start_limbs, n_chains, 1 << 14)
     seq = _BASES[buf]
+    # stitch all (k-1)-base chain prefixes with ONE 2-D scatter
     prefixes = decode_bases_np(start_limbs, k - 1, k)
-    contigs: set[bytes] = set()
-    for c in range(n_chains):
-        s = seq[off[c] : off[c] + lens[c]]
-        s[: k - 1] = prefixes[c]
-        fwd = s.tobytes()
-        rev = rc_bytes(s).tobytes()
-        contigs.add(fwd if fwd <= rev else rev)
-    return contigs
+    seq[off[:, None] + np.arange(k - 1)[None, :]] = prefixes
+    off_full = np.concatenate([off, [total]])
+    return canonicalize_contig_buffer(seq, off_full)
 
 
 def assemble_contig_bytes(
@@ -195,14 +222,7 @@ def assemble_contig_bytes(
     starts = pos == 0
     prefixes = decode_bases_np(limbs[starts], k - 1, k)
     buf[off[dense[starts]][:, None] + np.arange(k - 1)[None, :]] = prefixes
-
-    contigs: set[bytes] = set()
-    for c in range(n_chains):
-        seq = buf[off[c] : off[c + 1]]
-        fwd = seq.tobytes()
-        rev = rc_bytes(seq).tobytes()
-        contigs.add(fwd if fwd <= rev else rev)
-    return contigs
+    return canonicalize_contig_buffer(buf, off)
 
 
 def chains_to_contigs(
