@@ -102,59 +102,57 @@ def emit_chains_device(
     out_capacity: int,
     chain_capacity: int,
 ) -> DeviceEmission:
-    """Assemble all contig bytes on device; see module docstring."""
+    """Assemble all contig bytes on device; see module docstring.
+
+    SORT-FREE: a chain's id IS its end-edge id, so per-chain output offsets
+    come from one exclusive cumsum of (length + k-1) over end-edge slots, and
+    every edge finds its chain's offset/rank with a single gather at
+    chains.chain — no (chain, pos) edge sort. Chains are laid out in
+    end-edge-id order (ascending offsets, as canonicalize_contig_buffer
+    expects).
+    """
     E, L = g.edge_limbs.shape
     eid = jnp.arange(E, dtype=jnp.int32)
-    inv = (~chains.in_chain).astype(jnp.uint32)
-    # sort edges by (valid-first, chain, pos); payload = edge id
-    s_inv, _, s_pos, s_eid = jax.lax.sort(
-        [
-            inv,
-            chains.chain.astype(jnp.uint32),
-            chains.pos.astype(jnp.uint32),
-            eid,
-        ],
-        num_keys=3,
-        is_stable=True,
-    )
-    s_valid = s_inv == 0
-    s_len = jnp.where(s_valid, chains.length[s_eid], 0)
-    is_start = s_valid & (s_pos == 0)
-    # exclusive scan of per-chain output sizes -> chain offsets at start slots
-    contrib = jnp.where(is_start, s_len + (k - 1), 0)
-    cs = jnp.cumsum(contrib) - contrib  # exclusive
-    start_slot = jnp.arange(E, dtype=jnp.int32) - s_pos.astype(jnp.int32)
-    chain_off = cs[jnp.clip(start_slot, 0, E - 1)]  # offset of this edge's chain
+    valid = chains.in_chain
+    is_rep = valid & (chains.chain == eid)  # this edge ends its own chain
+    is_start = valid & (chains.pos == 0)
+
+    contrib = jnp.where(is_rep, chains.length + (k - 1), 0)
+    cs = jnp.cumsum(contrib) - contrib  # exclusive: offset at end-edge slots
     total = cs[-1] + contrib[-1]
+    rank = jnp.cumsum(is_rep.astype(jnp.int32)) - 1  # chain rank at end slots
+
+    cid = jnp.clip(chains.chain, 0, E - 1)
+    chain_off = cs[cid]  # per-edge: its chain's byte offset
 
     # scatter every edge's last base into the buffer
-    out_pos = chain_off + (k - 1) + s_pos.astype(jnp.int32)
-    lastb = (g.edge_limbs[s_eid, L - 1] & jnp.uint32(3)).astype(jnp.uint8)
-    dest = jnp.where(s_valid & (out_pos < out_capacity), out_pos, out_capacity)
+    out_pos = chain_off + (k - 1) + chains.pos
+    lastb = (g.edge_limbs[:, L - 1] & jnp.uint32(3)).astype(jnp.uint8)
+    dest = jnp.where(valid & (out_pos < out_capacity), out_pos, out_capacity)
     buf = jnp.zeros((out_capacity,), jnp.uint8).at[dest].set(lastb, mode="drop")
 
-    # compact per-chain tables via chain rank
-    rank = jnp.cumsum(is_start.astype(jnp.int32)) - 1
-    crank = jnp.where(is_start, rank, chain_capacity)
+    # compact per-chain tables at the chain's rank (gathered via its end edge)
+    crank_end = jnp.where(is_rep, rank, chain_capacity)
     chain_off_t = (
-        jnp.zeros((chain_capacity,), jnp.int32).at[crank].set(chain_off, mode="drop")
+        jnp.zeros((chain_capacity,), jnp.int32).at[crank_end].set(cs, mode="drop")
     )
     chain_len_t = (
         jnp.zeros((chain_capacity,), jnp.int32)
-        .at[crank]
-        .set(s_len + (k - 1), mode="drop")
+        .at[crank_end]
+        .set(chains.length + (k - 1), mode="drop")
     )
+    crank_start = jnp.where(is_start, rank[cid], chain_capacity)
     start_limbs = (
         jnp.zeros((chain_capacity, L), jnp.uint32)
-        .at[crank]
-        .set(g.edge_limbs[s_eid], mode="drop")
+        .at[crank_start]
+        .set(g.edge_limbs, mode="drop")
     )
     return DeviceEmission(
         buf=buf,
         chain_off=chain_off_t,
         chain_len=chain_len_t,
         start_limbs=start_limbs,
-        n_chains=jnp.sum(is_start.astype(jnp.int32)),
+        n_chains=jnp.sum(is_rep.astype(jnp.int32)),
         total=total,
     )
 
