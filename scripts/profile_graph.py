@@ -82,29 +82,31 @@ def main():
         t["transition_keys"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        res = ranking.cycle_min_ruling(succ0, g.edge_valid, tk)
+        res = ranking.cycle_min_ruling_tables(succ0, g.edge_valid, tk)
         if res is None:
             print("cycle_min_ruling fell back (gid overflow); doubling path "
                   "would run instead — nothing ruling-set to profile", flush=True)
             return
-        on_cycle, cyc_min = res
+        on_cycle, cyc_min, owner_off, tabs, succ_c = res
         sync(on_cycle)
         t["cycle_min_ruling"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        succ = _apply_cut(succ0, tk, on_cycle, cyc_min)
+        succ, is_cut = _apply_cut(succ0, tk, on_cycle, cyc_min)
         sync(succ)
         t["apply_cut"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        rr = ranking.rank_chains_ruling(succ, g.edge_valid)
+        rr = ranking.rank_chains_with_cut(
+            succ, g.edge_valid, is_cut, owner_off, tabs, succ_c
+        )
         if rr is None:
-            print("rank_chains_ruling fell back (gid overflow); doubling path "
-                  "would run instead — nothing ruling-set to profile", flush=True)
-            return
+            print("fused rank fell back; profiling rank_chains_ruling instead",
+                  flush=True)
+            rr = ranking.rank_chains_ruling(succ, g.edge_valid)
         d, end_edge = rr
         sync(d)
-        t["rank_chains_ruling"] = time.perf_counter() - t0
+        t["rank_with_cut"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         chains = _chains_from_rank(g.edge_valid, succ, d, end_edge, on_cycle)

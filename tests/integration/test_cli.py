@@ -68,6 +68,35 @@ def test_cli_save_and_resume_spectrum(fastq, capsys):
     assert m2["distinct_kmers"] == m1["distinct_kmers"]
 
 
+def test_cli_save_and_resume_graph(fastq, capsys):
+    path, reads, d = fastq
+    rc, m1 = run_cli(
+        [
+            "assemble", path, "-k", "21", "-o", f"{d}/g1.fa",
+            "--read-batch", "256", "--save-graph", f"{d}/graph.npz",
+        ],
+        capsys,
+    )
+    assert rc == 0
+    rc, m2 = run_cli(
+        [
+            "assemble", path, "-k", "21", "-o", f"{d}/g2.fa",
+            "--resume-graph", f"{d}/graph.npz",
+        ],
+        capsys,
+    )
+    assert rc == 0
+    assert "graph" not in m2["stages_s"] and "count" not in m2["stages_s"]
+    assert read_contigs(f"{d}/g2.fa") == read_contigs(f"{d}/g1.fa")
+    # wrong k refuses
+    rc, _ = run_cli(
+        ["assemble", path, "-k", "31", "-o", f"{d}/g3.fa",
+         "--resume-graph", f"{d}/graph.npz"],
+        capsys,
+    )
+    assert rc == 1
+
+
 def test_cli_resume_wrong_k_fails(fastq, capsys):
     path, reads, d = fastq
     rc, _ = run_cli(

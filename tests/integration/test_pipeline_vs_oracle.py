@@ -105,3 +105,17 @@ def test_streamed_and_oneshot_counting_agree():
     assert one.contigs == streamed.contigs
     assert one.n_distinct_kmers == streamed.n_distinct_kmers
     assert one.n_kmers_counted == streamed.n_kmers_counted
+    # grouped one-shot (config-5 scale path): force multiple groups — 18
+    # reads/batch x 70 windows = 1260 rows/batch; 3 batches per group
+    grouped = assemble_reads(
+        reads, dataclasses.replace(base, read_batch=18, oneshot_rows=3 * 18 * 70)
+    )
+    assert one.contigs == grouped.contigs
+    assert one.n_distinct_kmers == grouped.n_distinct_kmers
+    assert one.n_kmers_counted == grouped.n_kmers_counted
+    # grouped with a partial final group
+    grouped2 = assemble_reads(
+        reads, dataclasses.replace(base, read_batch=64, oneshot_rows=2 * 64 * 70)
+    )
+    assert one.contigs == grouped2.contigs
+    assert one.n_kmers_counted == grouped2.n_kmers_counted

@@ -143,6 +143,47 @@ def test_rank_chains_matches_wyllie(seed, E, n_paths, max_len):
     np.testing.assert_array_equal(end[valid], endw[valid])
 
 
+@pytest.mark.parametrize(
+    "seed,E,n_paths,n_cycles,max_len,tbits",
+    [
+        (0, 600, 10, 8, 40, 32),
+        (1, 3000, 2, 4, 700, 32),   # cycles longer than WALK_CAP
+        (2, 1200, 0, 80, 10, 32),   # many ruler-free cycles -> patch-only
+        (3, 900, 15, 15, 50, 2),    # tiny key alphabet -> multi-cut sublists
+        (4, 2048, 5, 30, 90, 4),    # duplicates + medium cycles
+        (5, 400, 0, 200, 2, 32),    # hundreds of 1-2 cycles incl. self-loops
+    ],
+)
+def test_fused_rank_matches_second_walk(seed, E, n_paths, n_cycles, max_len, tbits):
+    """rank_chains_with_cut (no second walk) == rank_chains_ruling on the cut
+    list, across cycle-heavy / duplicate-key / orphan-generating graphs."""
+    rng = np.random.default_rng(seed)
+    succ, valid = random_functional_graph(
+        rng, E, n_paths, n_cycles, max_len, n_invalid=E // 10
+    )
+    free = np.flatnonzero((succ < 0) & valid)
+    for e in free[:3]:
+        succ[e] = e  # self-loops
+    t = rng.integers(0, 2**tbits, size=(E, 2), dtype=np.uint32)
+    res = ranking.cycle_min_ruling_tables(
+        jnp.asarray(succ), jnp.asarray(valid), jnp.asarray(t)
+    )
+    assert res is not None
+    on_cycle, cyc_min, owner_off, tabs, succ_c = res
+    from tpu_euler.euler.unitigs import _apply_cut
+
+    succ_cut, is_cut = _apply_cut(jnp.asarray(succ), jnp.asarray(t), on_cycle, cyc_min)
+    rr = ranking.rank_chains_with_cut(
+        succ_cut, jnp.asarray(valid), is_cut, owner_off, tabs, succ_c
+    )
+    assert rr is not None
+    d, end = np.asarray(rr[0]), np.asarray(rr[1])
+    dw, endw = wyllie_rank(succ_cut, _log2_ceil(E) + 1)
+    dw, endw = np.asarray(dw), np.asarray(endw)
+    np.testing.assert_array_equal(d[valid], dw[valid])
+    np.testing.assert_array_equal(end[valid], endw[valid])
+
+
 def test_rank_chains_detects_leaked_cycle():
     rng = np.random.default_rng(7)
     succ, valid = random_functional_graph(rng, 400, 5, 2, 50)

@@ -50,6 +50,14 @@ def _add_assemble(sub):
         default="",
         help="resume from a spectrum checkpoint (skips read counting)",
     )
+    p.add_argument(
+        "--save-graph", default="", help="checkpoint graph + unitig chains (.npz)"
+    )
+    p.add_argument(
+        "--resume-graph",
+        default="",
+        help="resume from a graph checkpoint (skips counting AND graph/traversal)",
+    )
     p.add_argument("--profile", default="", help="dump a jax profiler trace to this dir")
     p.add_argument("-v", "--verbose", action="store_true")
 
@@ -172,6 +180,27 @@ def _assemble_with_args(args, t0):
     )
     from tpu_euler.pipeline.checkpoint import load_spectrum, save_spectrum
 
+    if args.resume_graph:
+        from tpu_euler.euler.extract import chains_to_contigs_device
+        from tpu_euler.pipeline.checkpoint import load_graph
+
+        g, chains, k = load_graph(args.resume_graph)
+        if k != args.k:
+            print(f"checkpoint is k={k}, requested k={args.k}", file=sys.stderr)
+            return None, 0.0
+        t = {}
+        t3 = time.perf_counter()
+        contigs = chains_to_contigs_device(g, chains, k)
+        t["extract"] = time.perf_counter() - t3
+        result = AssemblyResult(
+            contigs=contigs,
+            n_distinct_kmers=int(g.n_edges) // 2,
+            n_kmers_counted=0,
+            n_reads=0,
+            stage_seconds=t,
+        )
+        return result, time.perf_counter() - t0
+
     if args.resume_spectrum:
         spec, k = load_spectrum(args.resume_spectrum)
         if k != args.k:
@@ -238,7 +267,7 @@ def _assemble_with_args(args, t0):
         acc, n_windows = count_spectrum(codes, cfg, t)
         if args.save_spectrum:
             save_spectrum(args.save_spectrum, acc, cfg.k)
-        contigs, n_cut = spectrum_to_contigs(acc, cfg, t)
+        contigs, n_cut = spectrum_to_contigs(acc, cfg, t, save_graph_path=args.save_graph)
         result = AssemblyResult(
             contigs=contigs,
             n_distinct_kmers=n_cut,
@@ -298,7 +327,7 @@ def _assemble_with_args(args, t0):
     acc, n_windows = count_spectrum(codes, cfg, t)
     if args.save_spectrum:
         save_spectrum(args.save_spectrum, acc, cfg.k)
-    contigs, n_cut = spectrum_to_contigs(acc, cfg, t)
+    contigs, n_cut = spectrum_to_contigs(acc, cfg, t, save_graph_path=args.save_graph)
     result = AssemblyResult(
         contigs=contigs,
         n_distinct_kmers=n_cut,

@@ -53,6 +53,17 @@ def canonicalize_contig_buffer(buf: np.ndarray, off: np.ndarray) -> set[bytes]:
     n = off.size - 1
     if n == 0:
         return set()
+    if n <= 256:
+        # few (typically huge) contigs: per-contig numpy beats building the
+        # byte-granular cid/mirror index arrays below (one pass per contig vs
+        # ~6 int64 passes over every byte)
+        out = set()
+        for c in range(n):
+            seq = buf[off[c] : off[c + 1]]
+            fwd = seq.tobytes()
+            rev = rc_bytes(seq).tobytes()
+            out.add(fwd if fwd <= rev else rev)
+        return out
     total = int(off[-1])
     lens = np.diff(off)
     cid = np.repeat(np.arange(n, dtype=np.int64), lens)

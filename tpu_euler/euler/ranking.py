@@ -58,6 +58,22 @@ def _pow2(n: int, lo: int = 1 << 12) -> int:
     return 1 << max(_log2_ceil(max(1, n)), _log2_ceil(lo))
 
 
+def _cap_rows(n: int, lo: int = 1 << 12) -> int:
+    """Walk-frontier capacity: pow2 up to 64k, then a 16k granule.
+
+    Dead frontier slots pay every walk iteration (gather + scatter), so pow2
+    rounding wastes up to 2x of the walk's total work at large sizes; the 16k
+    granule caps the waste at ~10% while keeping the compiled-shape count
+    low (each distinct shape costs one fresh XLA program). Always a multiple
+    of the previous capacity's granule, so ladder slicing stays valid.
+    """
+    n = max(int(n), lo)
+    if n <= (1 << 16):
+        return 1 << _log2_ceil(n)
+    g = 1 << 14
+    return -(-n // g) * g
+
+
 def _hash_sample(n: int) -> jax.Array:
     h = keys._mix32(jnp.arange(n, dtype=jnp.uint32))
     return h < jnp.uint32((1 << 32) // RULER_STRIDE)
@@ -285,7 +301,7 @@ def _run_walk(succ, valid, t, track_min, with_self):
     E = succ.shape[0]
     is_ruler, n_rulers = _pick_rulers(succ, valid, with_self)
     succ2 = _build_succ2(succ, is_ruler)
-    s_cap = _pow2(int(n_rulers))
+    s_cap = _cap_rows(int(n_rulers))
     owner_off = jnp.full((E,), _SENT32)
     L = t.shape[1] if track_min else 0
     if not track_min:
@@ -312,7 +328,7 @@ def _run_walk(succ, valid, t, track_min, with_self):
         n = int(n_capped)
         if n == 0:
             break
-        s_cap = _pow2(n)
+        s_cap = _cap_rows(n)
         frontier = capped[:s_cap]
     return owner_off, tabs
 
@@ -443,10 +459,10 @@ def _uncovered_cycle_min(
     return cyc_min
 
 
-def cycle_min_ruling(succ, valid, t):
-    """(on_cycle [E], cycle-min transition key [E, L]) — semantics identical
-    to the min-propagating doubling in ``unitigs.cut_cycles``. Returns None
-    on gid overflow (caller falls back to doubling)."""
+def cycle_min_ruling_tables(succ, valid, t):
+    """Like ``cycle_min_ruling`` but also returns the walk's owner/ruler
+    tables so the caller can rank the CUT list without a second walk
+    (``rank_chains_with_cut``). Returns None on gid overflow."""
     owner_off, tabs = _run_walk(succ, valid, t, track_min=True, with_self=True)
     if owner_off is None:
         return None
@@ -462,7 +478,183 @@ def cycle_min_ruling(succ, valid, t):
         cyc_min_u = _uncovered_cycle_min(succ, t, uncovered, u_cap)
         on_cycle = on_cycle | uncovered
         cyc_min = jnp.where(uncovered[:, None], cyc_min_u, cyc_min)
-    return on_cycle, cyc_min
+    return on_cycle, cyc_min, owner_off, tabs, succ_c
+
+
+def cycle_min_ruling(succ, valid, t):
+    """(on_cycle [E], cycle-min transition key [E, L]) — semantics identical
+    to the min-propagating doubling in ``unitigs.cut_cycles``. Returns None
+    on gid overflow (caller falls back to doubling)."""
+    res = cycle_min_ruling_tables(succ, valid, t)
+    if res is None:
+        return None
+    return res[0], res[1]
+
+
+# ---------------------------------------------------------------------------
+# Fused rank: rank the CUT successor list from the cycle walk's tables,
+# avoiding the second full O(E) walk entirely. The cut changes the list
+# structure only AT cut edges, so per-gid "first cut" tables + a contracted
+# re-rank + a tiny compacted patch (elements past an intra-sublist cut, plus
+# ruler-free-cycle members) reconstruct every edge's (distance-to-end,
+# end-edge) exactly as rank_chains_ruling would.
+# ---------------------------------------------------------------------------
+
+_INF32 = jnp.int32(1 << 30)
+
+
+@jax.jit
+def _cut_tables(is_cut: jax.Array, owner_off: jax.Array, succ_c: jax.Array):
+    """Per-gid (first-cut offset, cut-edge id at that offset); INF/E if none."""
+    E = is_cut.shape[0]
+    S = succ_c.shape[0]
+    covered = owner_off != _SENT32
+    gid = (owner_off >> jnp.uint32(8)).astype(jnp.int32)
+    off = (owner_off & jnp.uint32(0xFF)).astype(jnp.int32)
+    use = is_cut & covered
+    dest = jnp.where(use, gid, S)
+    m1 = (
+        jnp.full((S,), _INF32)
+        .at[dest]
+        .min(jnp.where(use, off, _INF32), mode="drop")
+    )
+    at_m1 = use & (off == m1[jnp.clip(gid, 0, S - 1)])
+    eid = jnp.arange(E, dtype=jnp.int32)
+    cut_edge = (
+        jnp.full((S,), E, jnp.int32)
+        .at[jnp.where(at_m1, gid, S)]
+        .min(jnp.where(at_m1, eid, E), mode="drop")
+    )
+    return m1, cut_edge
+
+
+@jax.jit
+def _contracted_rank_cut(succ_c, hops, end_e, m1, cut_edge):
+    """Contracted weighted rank where gids containing a cut terminate there."""
+    has_cut = m1 < _INF32
+    succ2 = jnp.where(has_cut, -1, succ_c)
+    hops2 = jnp.where(has_cut, m1, hops)
+    end2 = jnp.where(has_cut, cut_edge, end_e)
+    return _contracted_rank(succ2, hops2, end2)
+
+
+@jax.jit
+def _broadcast_rank_cut(owner_off, D, chain_end, valid, m1):
+    """Per-edge (d, end_edge, known, n_patch): closed-form for every covered
+    edge at offset <= its gid's first cut; the rest go to the patch set."""
+    E = valid.shape[0]
+    covered = owner_off != _SENT32
+    gid = (owner_off >> jnp.uint32(8)).astype(jnp.int32)
+    off = (owner_off & jnp.uint32(0xFF)).astype(jnp.int32)
+    S = D.shape[0]
+    g = jnp.clip(gid, 0, S - 1)
+    known = valid & covered & (off <= m1[g])
+    d = jnp.where(known, D[g] - off, 0)
+    end_edge = jnp.where(known, chain_end[g], jnp.arange(E, dtype=jnp.int32))
+    patch = valid & ~known
+    return d, end_edge, patch, jnp.sum(patch.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("u_cap",))
+def _patch_rank(succ_cut, patch, d_known, end_known, u_cap: int):
+    """Weighted Wyllie over the compacted patch set with absorbing boundaries.
+
+    A patch element whose successor is outside the patch absorbs that
+    successor's already-known (d, end) as its initial hop weight/label — the
+    patch's chains are closed under that convention, so a bounded doubling
+    resolves them. Returns per-edge (d, end, leaked): ``leaked`` flags a live
+    pointer after full doubling (a cycle survived the cut — impossible unless
+    an invariant broke; caller falls back to full doubling).
+    """
+    E = succ_cut.shape[0]
+    eid = jnp.arange(E, dtype=jnp.int32)
+    slot = jnp.cumsum(patch.astype(jnp.int32)) - 1
+    ok = patch & (slot < u_cap)
+    elem = (
+        jnp.full((u_cap,), -1, jnp.int32)
+        .at[jnp.where(ok, slot, u_cap)]
+        .set(eid, mode="drop")
+    )
+    slot_of = (
+        jnp.full((E,), -1, jnp.int32)
+        .at[jnp.where(ok, eid, E)]
+        .set(jnp.clip(slot, 0, u_cap - 1), mode="drop")
+    )
+    overflow = jnp.sum(patch.astype(jnp.int32)) > u_cap
+
+    live = elem >= 0
+    ec = jnp.clip(elem, 0, E - 1)
+    x = jnp.where(live, succ_cut[ec], -1)
+    xc = jnp.clip(x, 0, E - 1)
+    x_in = (x >= 0) & (slot_of[xc] >= 0)
+    sid = jnp.arange(u_cap, dtype=jnp.uint32)
+
+    p0 = jnp.where(live & x_in, slot_of[xc].astype(jnp.uint32), _SENT32)
+    d0 = jnp.where(
+        ~live | (x < 0),
+        0,
+        jnp.where(x_in, 1, 1 + d_known[xc]),
+    ).astype(jnp.uint32)
+    # terminal label: own element at a real end, else the absorbed end
+    e0 = jnp.where(x < 0, ec, end_known[xc])
+    q0 = jnp.where(p0 != _SENT32, p0, sid)
+    St = jnp.stack([p0, d0, q0], axis=1)
+
+    def round_fn(_, St):
+        p = St[:, 0]
+        alive = p != _SENT32
+        idx = jnp.where(alive, p, sid).astype(jnp.int32)
+        rows = St[jnp.clip(idx, 0, u_cap - 1)]
+        p_new = jnp.where(alive, rows[:, 0], _SENT32)
+        d_new = St[:, 1] + jnp.where(alive, rows[:, 1], 0)
+        q_new = rows[:, 2]
+        return jnp.stack([p_new, d_new, q_new], axis=1)
+
+    St = jax.lax.fori_loop(0, _log2_ceil(u_cap) + 1, round_fn, St)
+    leaked = jnp.any(jnp.where(live, St[:, 0] != _SENT32, False)) | overflow
+    Dp = St[:, 1].astype(jnp.int32)
+    q = St[:, 2].astype(jnp.int32)
+    endp = e0[jnp.clip(q, 0, u_cap - 1)]
+    d_e = jnp.zeros((E,), jnp.int32).at[jnp.where(live, ec, E)].set(Dp, mode="drop")
+    end_e = (
+        jnp.full((E,), -1, jnp.int32)
+        .at[jnp.where(live, ec, E)]
+        .set(endp, mode="drop")
+    )
+    return d_e, end_e, leaked
+
+
+@jax.jit
+def _merge_patch(d, end_edge, patch, dp, ep):
+    return (
+        jnp.where(patch, dp, d),
+        jnp.where(patch, ep, end_edge),
+    )
+
+
+def rank_chains_with_cut(succ_cut, valid, is_cut, owner_off, tabs, succ_c):
+    """(distance to chain end, end-edge label) of the cut list, computed from
+    the CYCLE walk's tables — no second O(E) walk. Semantics exactly equal
+    ``rank_chains_ruling(succ_cut, valid)`` (true distance/end labels, not
+    ruler-choice-dependent). Returns None if an invariant breaks (caller
+    falls back)."""
+    m1, cut_edge = _cut_tables(is_cut, owner_off, succ_c)
+    D, chain_end, has_cycle = _contracted_rank_cut(
+        succ_c, tabs["hops"], tabs["end_e"], m1, cut_edge
+    )
+    d, end_edge, patch, n_patch = _broadcast_rank_cut(
+        owner_off, D, chain_end, valid, m1
+    )
+    n = int(n_patch)
+    if n:
+        u_cap = _pow2(n, lo=1 << 10)
+        dp, ep, leaked = _patch_rank(succ_cut, patch, d, end_edge, u_cap)
+        if bool(leaked):
+            return None
+        d, end_edge = _merge_patch(d, end_edge, patch, dp, ep)
+    if bool(has_cycle):
+        return None  # a contracted cycle survived the cut: invariant broke
+    return d, end_edge
 
 
 def rank_chains_ruling(succ, valid):

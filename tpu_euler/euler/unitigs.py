@@ -88,13 +88,15 @@ def wyllie_rank(succ: jax.Array, rounds: int) -> tuple[jax.Array, jax.Array]:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def successor(g: DeBruijnGraph, k: int) -> jax.Array:
-    """succ[e]: unique following edge through a simple head node, else -1."""
+    """succ[e]: unique following edge through a simple head node, else -1.
+
+    ONE random gather per edge: ``g.succ_cand`` pre-folds the simple-node
+    test and out_first into a single array at graph-build time.
+    """
     E = g.edge_limbs.shape[0]
     h = jnp.clip(g.head, 0, 2 * E - 1)
-    simple = (g.indeg[h] == 1) & (g.outdeg[h] == 1)
-    nxt = g.out_first[h]
-    ok = g.edge_valid & simple & (nxt < E)
-    return jnp.where(ok, nxt, -1).astype(jnp.int32)
+    nxt = g.succ_cand[h]
+    return jnp.where(g.edge_valid, nxt, -1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -203,17 +205,19 @@ def unitig_chains(g: DeBruijnGraph, k: int) -> UnitigChains:
 @jax.jit
 def _apply_cut(succ0, t, on_cycle, cyc_min):
     is_cut = on_cycle & keys.key_eq(t, cyc_min)
-    return jnp.where(is_cut, -1, succ0)
+    return jnp.where(is_cut, -1, succ0), is_cut
 
 
 def unitig_chains_fast(g: DeBruijnGraph, k: int, min_edges: int = 1 << 17) -> UnitigChains:
     """Chain computation via sparse-ruling-set ranking (euler/ranking.py).
 
-    Host-orchestrated (ruler capacities are picked from live counts), output
-    bit-identical to ``unitig_chains``. Falls back to the doubling path for
-    small graphs (fewer programs) and on the ranking module's rare overflow
-    returns. This is the main single-device pipeline's traversal: O(E) total
-    random-access work instead of doubling's O(E log E).
+    ONE ruler walk total: the cycle-min walk's owner/ruler tables are reused
+    to rank the cut list (``ranking.rank_chains_with_cut``), replacing the
+    former second O(E) walk with per-gid cut tables + a contracted re-rank +
+    a tiny compacted patch. Host-orchestrated (ruler capacities are picked
+    from live counts), output bit-identical to ``unitig_chains``. Falls back
+    to the doubling path for small graphs (fewer programs) and on the ranking
+    module's rare overflow returns.
     """
     from tpu_euler.euler import ranking
 
@@ -222,12 +226,16 @@ def unitig_chains_fast(g: DeBruijnGraph, k: int, min_edges: int = 1 << 17) -> Un
         return unitig_chains(g, k)
     succ0 = successor(g, k)
     t = transition_keys(g, succ0, k)
-    res = ranking.cycle_min_ruling(succ0, g.edge_valid, t)
+    res = ranking.cycle_min_ruling_tables(succ0, g.edge_valid, t)
     if res is None:
         return unitig_chains(g, k)
-    on_cycle, cyc_min = res
-    succ = _apply_cut(succ0, t, on_cycle, cyc_min)
-    rr = ranking.rank_chains_ruling(succ, g.edge_valid)
+    on_cycle, cyc_min, owner_off, tabs, succ_c = res
+    succ, is_cut = _apply_cut(succ0, t, on_cycle, cyc_min)
+    rr = ranking.rank_chains_with_cut(
+        succ, g.edge_valid, is_cut, owner_off, tabs, succ_c
+    )
+    if rr is None:
+        rr = ranking.rank_chains_ruling(succ, g.edge_valid)
     if rr is None:
         return unitig_chains(g, k)
     d, end_edge = rr

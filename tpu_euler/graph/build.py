@@ -41,6 +41,9 @@ class DeBruijnGraph(NamedTuple):
     indeg: jax.Array  # [2E] int32 distinct in-edges per node
     outdeg: jax.Array  # [2E] int32 distinct out-edges per node
     out_first: jax.Array  # [2E] int32 min edge id with tail==node (E if none)
+    succ_cand: jax.Array  # [2E] int32 out_first where node is simple, else -1
+    # (precomputed so the successor kernel costs ONE random gather per edge
+    #  instead of three — random-gather transactions dominate on TPU HBM)
 
     @property
     def edge_capacity(self) -> int:
@@ -116,6 +119,8 @@ def build_graph(spec: Spectrum, k: int) -> DeBruijnGraph:
         .at[tail_c]
         .min(jnp.where(edge_valid, eid, E))
     )
+    simple = (indeg == 1) & (outdeg == 1) & (out_first < E)
+    succ_cand = jnp.where(simple, out_first, -1)
     return DeBruijnGraph(
         edge_limbs=edge_limbs,
         edge_valid=edge_valid,
@@ -126,4 +131,5 @@ def build_graph(spec: Spectrum, k: int) -> DeBruijnGraph:
         indeg=indeg,
         outdeg=outdeg,
         out_first=out_first,
+        succ_cand=succ_cand,
     )

@@ -135,12 +135,14 @@ def make_extract_fill_step(k: int, read_len: int):
 def make_oneshot_count(k: int, capacity: int):
     """Sort the full key buffer once; dedup + count into a capacity spectrum.
 
-    Post-sort reduction is ONE row-index scatter plus capacity-sized gathers
-    (measured on the chip at bench scale: a 165M-row value scatter costs
-    ~1.4s, so scattering each segment start's ROW INDEX once and gathering
-    keys/counts at capacity scale beats scattering L key limbs + count bounds
-    by ~3s). Unit weights mean segment sums are just adjacent differences of
-    the segment-start row indices — no cumsum of weights at all.
+    Post-sort reduction is a SECOND, single-operand sort: the composite key
+    ``row + T*(not segment start)`` moves every segment start's row index to
+    the front IN ORDER (no stability needed — the composite is injective and
+    monotone within each class). Measured on the chip at 134M rows: the
+    1-operand sort costs ~0.4s where the previous row-index scatter cost
+    ~1.1s (random-scatter transactions dominate; a sort of one operand is
+    mostly sequential traffic). Counts then fall out as adjacent differences
+    of the segment-start rows, keys as capacity-sized gathers.
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -153,20 +155,21 @@ def make_oneshot_count(k: int, capacity: int):
         for j in range(L):
             is_new = is_new | (s[j] != jnp.roll(s[j], 1))
         is_new = is_new.at[0].set(True) & sv
-        seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
         n = jnp.sum(is_new.astype(jnp.int32))
         n_valid = jnp.sum(sv.astype(jnp.int32))
-        # bounds[j] = first sorted row of segment j (n_valid past the last):
-        # counts fall out as adjacent differences, keys as gathers at bounds.
-        iota = jnp.arange(T, dtype=jnp.int32)
-        dest = jnp.where(is_new & (seg < capacity), seg, capacity + 1)
-        bounds = (
-            jnp.full((capacity + 1,), n_valid, jnp.int32)
-            .at[dest]
-            .set(iota, mode="drop")
+        iota = jnp.arange(T, dtype=jnp.uint32)
+        comp = jnp.where(is_new, iota, iota + jnp.uint32(T))
+        (comp_sorted,) = jax.lax.sort([comp], num_keys=1)
+        m = min(capacity, T)
+        b = comp_sorted[:m]  # first n entries = segment-start rows
+        live_m = b < jnp.uint32(T)
+        bfull = jnp.full((capacity,), n_valid, jnp.int32)
+        bfull = jax.lax.dynamic_update_slice(
+            bfull, jnp.where(live_m, b.astype(jnp.int32), n_valid), (0,)
         )
-        counts = bounds[1:] - bounds[:-1]
         live = jnp.arange(capacity, dtype=jnp.int32) < n
+        bounds = jnp.concatenate([bfull, n_valid[None]])
+        counts = bounds[1:] - bounds[:-1]
         src = jnp.clip(bounds[:capacity], 0, T - 1)
         uniq = jnp.stack(
             [jnp.where(live, s[j][src], 0) for j in range(L)], axis=-1
@@ -266,13 +269,69 @@ def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
     return acc, n_windows
 
 
+def count_spectrum_grouped(codes_all, cfg: AssemblyConfig, t: dict):
+    """Hierarchical streaming: one-shot-sort GROUPS of batches, merge spectra.
+
+    For runs whose total windows exceed ``oneshot_rows`` (SPEC config 5:
+    100 Mbp x 40x = 2.4G windows), buffering ~oneshot_rows raw keys per group
+    and sorting each group ONCE costs one group-sized sort + one
+    capacity-scale sorted merge per group — several times less sort volume
+    than the legacy per-batch raw merge (one capacity+windows sort per
+    batch), while holding device memory at the same oneshot_rows bound.
+    """
+    from tpu_euler.kmer.count import merge_spectra
+
+    Wb = cfg.read_batch * cfg.windows_per_read
+    n_batches = _n_batches(codes_all, cfg)
+    bpg = max(1, cfg.oneshot_rows // Wb)  # batches per group
+    T = bpg * Wb
+    fill = make_extract_fill_step(cfg.k, cfg.read_len)
+    oneshot = make_oneshot_count(cfg.k, cfg.spectrum_capacity)
+    acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
+    n_windows = jnp.zeros((), jnp.int32)
+    over_any = False
+    feed = _batch_feed(codes_all, cfg)
+    try:
+        for g0 in range(0, n_batches, bpg):
+            nb = min(bpg, n_batches - g0)
+            # fresh sentinel buffer per group (a short final group leaves its
+            # tail all-sentinel, which sorts to the end as invalid)
+            buf = tuple(
+                jnp.full((T,), jnp.uint32(0xFFFFFFFF))
+                for _ in range(cfg.nlimbs)
+            )
+            for b in range(nb):
+                t0 = time.perf_counter()
+                packed, nmask = next(feed)
+                t1 = time.perf_counter()
+                buf, nw = fill(packed, nmask, buf, jnp.asarray(b * Wb, jnp.int32))
+                n_windows = n_windows + nw
+                t["encode"] += t1 - t0
+                t["count"] += time.perf_counter() - t1
+            t1 = time.perf_counter()
+            grp, over = oneshot(buf)
+            acc = merge_spectra(acc, grp)
+            over_any = over_any or bool(over)  # D2H: drains this group
+            t["count_drain"] += time.perf_counter() - t1
+    finally:
+        feed.close()
+    n_windows = int(n_windows)
+    if over_any or spectrum_overflowed(acc):
+        raise RuntimeError(
+            f"spectrum capacity {cfg.spectrum_capacity} overflowed: "
+            f"raise AssemblyConfig.spectrum_capacity"
+        )
+    return acc, n_windows
+
+
 def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
     """Count a pre-encoded [R, read_len] int8 code matrix into a Spectrum.
 
     Chooses one-shot counting (single global sort) when the run's total
-    windows fit ``cfg.oneshot_rows``; otherwise streams capacity-bounded
-    merges (memory-bounded for arbitrarily large read sets).
-    Returns (spectrum, n_windows_counted).
+    windows fit ``cfg.oneshot_rows``; grouped one-shot merging beyond that
+    (memory-bounded for arbitrarily large read sets). The legacy per-batch
+    raw merge remains for k % 16 == 0 (no spare sentinel bit) or
+    oneshot_rows == 0. Returns (spectrum, n_windows_counted).
     """
     import numpy as np
 
@@ -283,8 +342,10 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
     total_windows = _n_batches(codes_all, cfg) * (
         cfg.read_batch * cfg.windows_per_read
     )
-    if cfg.oneshot_rows and total_windows <= cfg.oneshot_rows and cfg.k % 16 != 0:
-        return count_spectrum_oneshot(codes_all, cfg, t)
+    if cfg.oneshot_rows and cfg.k % 16 != 0:
+        if total_windows <= cfg.oneshot_rows:
+            return count_spectrum_oneshot(codes_all, cfg, t)
+        return count_spectrum_grouped(codes_all, cfg, t)
     count_step = make_count_step(cfg.k, cfg.read_len)
     acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
     n_windows = jnp.zeros((), jnp.int32)
@@ -332,7 +393,10 @@ def right_size_spectrum(acc: Spectrum, granule: int = 1 << 18) -> Spectrum:
 
 
 def spectrum_to_contigs(
-    acc: Spectrum, cfg: AssemblyConfig, t: dict | None = None
+    acc: Spectrum,
+    cfg: AssemblyConfig,
+    t: dict | None = None,
+    save_graph_path: str = "",
 ) -> tuple[set, int]:
     """Cutoff (+ tip clipping) + graph + traversal + emission. Returns (contigs, n_cut)."""
     t = t if t is not None else {}
@@ -351,6 +415,10 @@ def spectrum_to_contigs(
     chains = unitig_chains_fast(g, cfg.k)
     jax.block_until_ready(chains)
     t["graph"] = time.perf_counter() - t2
+    if save_graph_path:
+        from tpu_euler.pipeline.checkpoint import save_graph
+
+        save_graph(save_graph_path, g, chains, cfg.k)
 
     t3 = time.perf_counter()
     contigs = chains_to_contigs_device(g, chains, cfg.k)
