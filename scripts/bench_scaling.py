@@ -1,0 +1,180 @@
+"""Weak-scaling measurement on a virtual CPU mesh (SURVEY.md §6 scaling row;
+BASELINE.md row 4 "scaling efficiency").
+
+Fixed PER-DEVICE load, n_devices in {1,2,4,8}: times (a) the distributed
+count step (extract + owner-sort + all_to_all exchange + shard merge) and
+(b) the fully sharded traversal step (node-record exchange + collective
+pointer doubling). Ideal weak scaling holds step time constant as devices
+grow. Writes SCALING_r{N}.json.
+
+Caveat printed into the results: the virtual devices timeshare this host's
+physical cores (nproc), so compute-bound efficiency here is a LOWER bound on
+real ICI-connected chips — past n_dev > nproc the devices serialize on cores.
+The numbers still validate that collective volume per device stays O(1/n_dev)
+(the step would blow up with devices otherwise) and they exercise the real
+shard_map/all_to_all code paths end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # beat any sitecustomize override
+
+import numpy as np
+
+from tpu_euler.config import AssemblyConfig
+from tpu_euler.dist.count_dist import (
+    DistSpectrum,
+    empty_dist_spectrum,
+    make_dist_count_step,
+)
+from tpu_euler.dist.mesh import batch_sharding, fetch_global, make_mesh
+from tpu_euler.dist.traverse_dist import make_dist_chains_step, make_dist_cutoff_step
+from tpu_euler.io.encode import encode_reads
+from tpu_euler.reference_impl.simulate import random_genome, simulate_reads
+
+READS_PER_DEV = 2048  # fixed per-device load (weak scaling)
+GENOME_PER_DEV = 60_000  # bp of graph per device for the traversal step
+READ_LEN = 100
+K = 31
+REPS = 3
+
+
+def timeit(fn, *args, reps=REPS):
+    out = fn(*args)
+    jax.block_until_ready(out)  # warm (compile)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def bench_count(n_dev: int) -> float:
+    cfg = AssemblyConfig(
+        k=K, read_batch=READS_PER_DEV, read_len=READ_LEN,
+        spectrum_capacity=n_dev << 18,
+    )
+    mesh = make_mesh(n_dev)
+    windows = cfg.read_batch * cfg.windows_per_read
+    c_dest = int(2.0 * windows / n_dev + 256)
+    c_local = cfg.spectrum_capacity // n_dev
+    step = make_dist_count_step(cfg.k, n_dev, c_dest, mesh)
+    sharding = batch_sharding(mesh)
+    acc = jax.device_put(
+        empty_dist_spectrum(n_dev, c_local, cfg.nlimbs),
+        DistSpectrum(limbs=sharding, counts=sharding, n=sharding, dropped=sharding),
+    )
+    genome = random_genome(GENOME_PER_DEV * n_dev, seed=100 + n_dev)
+    reads = simulate_reads(
+        genome, read_len=READ_LEN, coverage=1, seed=200 + n_dev, circular=True
+    )
+    need = cfg.read_batch * n_dev
+    reads = (reads * (need // len(reads) + 1))[:need]
+    codes = jax.device_put(encode_reads(reads, READ_LEN), sharding)
+
+    def run(codes, acc):
+        acc2, nw = step(codes, acc)
+        return acc2.limbs, nw
+
+    dt, _ = timeit(run, codes, acc)
+    return dt
+
+
+def bench_traverse(n_dev: int) -> tuple[float, int]:
+    cfg = AssemblyConfig(
+        k=K, read_batch=READS_PER_DEV, read_len=READ_LEN,
+        spectrum_capacity=n_dev << 18,
+    )
+    mesh = make_mesh(n_dev)
+    genome = random_genome(GENOME_PER_DEV * n_dev, seed=300 + n_dev)
+    reads = simulate_reads(
+        genome, read_len=READ_LEN, coverage=8, seed=400 + n_dev, circular=True
+    )
+    windows = cfg.read_batch * cfg.windows_per_read
+    c_dest = int(2.0 * windows / n_dev + 256)
+    c_local = cfg.spectrum_capacity // n_dev
+    count_step = make_dist_count_step(cfg.k, n_dev, c_dest, mesh)
+    sharding = batch_sharding(mesh)
+    acc = jax.device_put(
+        empty_dist_spectrum(n_dev, c_local, cfg.nlimbs),
+        DistSpectrum(limbs=sharding, counts=sharding, n=sharding, dropped=sharding),
+    )
+    step_rows = cfg.read_batch * n_dev
+    for i in range(0, len(reads), step_rows):
+        batch = reads[i : i + step_rows]
+        cb = encode_reads(batch, READ_LEN)
+        if cb.shape[0] < step_rows:
+            cb = np.concatenate(
+                [cb, np.full((step_rows - cb.shape[0], READ_LEN), 4, np.int8)]
+            )
+        acc, _ = count_step(jax.device_put(cb, sharding), acc)
+    cut = make_dist_cutoff_step(cfg.min_count, mesh)
+    cl, cc, cn = cut(acc.limbs, acc.counts, acc.n)
+    n_edges = int(fetch_global(cn).sum())
+    chains_step = make_dist_chains_step(cfg.k, n_dev, c_local, mesh)
+    dt, _ = timeit(chains_step, cl, cc, cn)
+    return dt, n_edges
+
+
+def main():
+    out = {
+        "host_cores": os.cpu_count(),
+        "per_device_load": {
+            "count_reads": READS_PER_DEV,
+            "count_windows": READS_PER_DEV * (READ_LEN - K + 1),
+            "traverse_genome_bp": GENOME_PER_DEV,
+        },
+        "note": (
+            "virtual CPU devices timeshare the host cores; efficiency past "
+            "n_dev > host_cores is a lower bound for real ICI-linked chips"
+        ),
+        "rows": [],
+    }
+    base_count = base_trav = None
+    for n_dev in (1, 2, 4, 8):
+        tc = bench_count(n_dev)
+        tt, n_edges = bench_traverse(n_dev)
+        if n_dev == 1:
+            base_count, base_trav = tc, tt
+        # the host's physical cores cap how many virtual devices can compute
+        # at once: the core-bound weak-scaling ceiling is min(1, cores/n_dev)
+        ceiling = min(1.0, os.cpu_count() / n_dev)
+        row = {
+            "n_dev": n_dev,
+            "count_step_s": round(tc, 4),
+            "count_weak_eff": round(base_count / tc, 3),
+            "count_eff_vs_core_ceiling": round(base_count / tc / ceiling, 3),
+            "traverse_step_s": round(tt, 4),
+            "traverse_weak_eff": round(base_trav / tt, 3),
+            "traverse_eff_vs_core_ceiling": round(base_trav / tt / ceiling, 3),
+            "traverse_edges_total": n_edges,
+        }
+        out["rows"].append(row)
+        print(json.dumps(row), flush=True)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_r02.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

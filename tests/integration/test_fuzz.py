@@ -21,6 +21,7 @@ def test_fuzz_pipeline_equals_oracle(trial):
     err = float(rng.choice([0.0, 0.0, 0.003, 0.008]))
     min_count = 1 if err == 0.0 else int(rng.integers(3, 5))
     tips = int(rng.choice([0, 0, 2])) if err else 0
+    bubbles = int(rng.choice([0, 2, 3])) if err else 0
     circular = bool(rng.integers(0, 2))
     read_len = int(rng.choice([70, 100, 140]))
     if read_len <= k:
@@ -32,15 +33,18 @@ def test_fuzz_pipeline_equals_oracle(trial):
         error_rate=err, circular=circular,
     )
     cfg = AssemblyConfig(
-        k=k, min_count=min_count, tip_rounds=tips, read_batch=512,
+        k=k, min_count=min_count, tip_rounds=tips, bubble_rounds=bubbles,
+        read_batch=512,
         read_len=read_len, spectrum_capacity=1 << 16,
     )
     got = assemble_reads(reads, cfg)
-    expected = assemble_oracle(reads, k, min_count, tip_rounds=tips)
+    expected = assemble_oracle(
+        reads, k, min_count, tip_rounds=tips, bubble_rounds=bubbles
+    )
     extra, missing = diff_contig_sets(got.contig_strings, expected)
     assert not extra and not missing, (
         f"trial {trial} (glen={glen} k={k} cov={cov} err={err} mc={min_count} "
-        f"tips={tips} circ={circular} rl={read_len}): "
+        f"tips={tips} bubbles={bubbles} circ={circular} rl={read_len}): "
         f"{len(extra)} extra / {len(missing)} missing contigs"
     )
     if err == 0.0 and cov >= 15:

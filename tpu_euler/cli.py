@@ -22,6 +22,12 @@ def _add_assemble(sub):
     p.add_argument("--tip-rounds", type=int, default=0, help="tip-clipping rounds (0=off)")
     p.add_argument("--tip-len", type=int, default=0, help="tip threshold in edges (0=2k)")
     p.add_argument(
+        "--bubble-rounds", type=int, default=0, help="simple-bubble popping rounds (0=off)"
+    )
+    p.add_argument(
+        "--bubble-len", type=int, default=0, help="bubble branch threshold in edges (0=2k)"
+    )
+    p.add_argument(
         "--min-qual",
         type=int,
         default=0,
@@ -213,6 +219,8 @@ def _assemble_with_args(args, t0):
             spectrum_capacity=spec.limbs.shape[0],
             tip_rounds=args.tip_rounds,
             tip_len=args.tip_len,
+            bubble_rounds=args.bubble_rounds,
+            bubble_len=args.bubble_len,
         )
         t: dict = {}
         contigs, n_cut = spectrum_to_contigs(spec, cfg, t)
@@ -250,6 +258,8 @@ def _assemble_with_args(args, t0):
             spectrum_capacity=cap,
             tip_rounds=args.tip_rounds,
             tip_len=args.tip_len,
+            bubble_rounds=args.bubble_rounds,
+            bubble_len=args.bubble_len,
         )
         t_parse = time.perf_counter() - t0
         if args.mesh:
@@ -306,6 +316,8 @@ def _assemble_with_args(args, t0):
         mesh_shape=(args.mesh,) if args.mesh else (),
         tip_rounds=args.tip_rounds,
         tip_len=args.tip_len,
+        bubble_rounds=args.bubble_rounds,
+        bubble_len=args.bubble_len,
     )
     t_parse = time.perf_counter() - t0
 

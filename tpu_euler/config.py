@@ -49,6 +49,8 @@ class AssemblyConfig:
     scramble: bool = True  # hash-scramble keys before prefix bucketing
     tip_rounds: int = 0  # iterative tip-clipping rounds (0 = off)
     tip_len: int = 0  # tip threshold in edges (0 = 2k)
+    bubble_rounds: int = 0  # iterative simple-bubble popping rounds (0 = off)
+    bubble_len: int = 0  # bubble branch threshold in edges (0 = 2k)
     # one-shot counting: if the whole run's windows fit this many rows, buffer
     # all canonical keys and sort ONCE instead of merging per batch (0 = off).
     oneshot_rows: int = 192_000_000

@@ -66,7 +66,8 @@ def assemble_reads_distributed(
         DistSpectrum(limbs=sharding, counts=sharding, n=sharding, dropped=sharding),
     )
     n_reads = 0
-    n_windows = 0
+    n_windows_parts = []  # device scalars; fetched ONCE after the loop so no
+    # per-batch D2H sync serializes the dispatch pipeline
     step_rows = rows * n_dev
     total = len(reads) if reads is not None else codes.shape[0]
     for i in range(0, max(total, 1), step_rows):
@@ -84,11 +85,12 @@ def assemble_reads_distributed(
         cbatch = jax.device_put(cbatch, sharding)
         t1 = time.perf_counter()
         acc, nw = count_step(cbatch, acc)
-        n_windows += int(fetch_global(nw)[0])
+        n_windows_parts.append(nw)
         t["encode"] += t1 - t0
         t["count"] += time.perf_counter() - t1
 
     jax.block_until_ready(acc)
+    n_windows = sum(int(fetch_global(nw)[0]) for nw in n_windows_parts)
     dropped = int(fetch_global(acc.dropped).sum())
     if dropped:
         raise RuntimeError(

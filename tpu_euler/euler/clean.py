@@ -81,3 +81,108 @@ def clip_tips(
         if n == 0:
             break
     return spec, total
+
+
+def _compact_rows(spec: Spectrum, drop_row: jax.Array) -> tuple[Spectrum, jax.Array]:
+    """Remove flagged rows from a spectrum, keeping key-sorted order."""
+    C = spec.limbs.shape[0]
+    valid_row = jnp.arange(C, dtype=jnp.int32) < spec.n
+    keep = valid_row & ~drop_row
+    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, dest, C)
+    limbs = jnp.zeros_like(spec.limbs).at[dest].set(spec.limbs, mode="drop")
+    counts = jnp.zeros_like(spec.counts).at[dest].set(spec.counts, mode="drop")
+    n_removed = jnp.sum((valid_row & drop_row).astype(jnp.int32))
+    return Spectrum(limbs, counts, spec.n - n_removed), n_removed
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bubble_len"))
+def pop_bubbles_once(
+    spec: Spectrum, k: int, bubble_len: int
+) -> tuple[Spectrum, jax.Array]:
+    """One simple-bubble popping round. Semantics shared EXACTLY with the CPU
+    oracle (reference_impl/oracle.py:find_bubble_kmers):
+
+    Non-cycle unitig chains group by (start node u, end node v). A group with
+    >= 2 chains, all shorter than ``bubble_len`` edges, is a bubble; chains
+    rank by (coverage DESC, min canonical k-mer ASC) — both strand-symmetric,
+    so the mirror group pops the mirror branches. A tie at the top skips the
+    group (the tied chains spell the same canonical sequence == same rows).
+    Every non-winner chain's rows are removed (both orientations at once,
+    since row i underlies edges i and i+C).
+
+    Returns (new spectrum, number of rows removed).
+    """
+    g = build_graph(spec, k)
+    chains = unitig_chains(g, k)
+    E = g.edge_limbs.shape[0]
+    C = E // 2
+    BIG = jnp.int32(0x7FFFFFFF)
+
+    eid = jnp.arange(E, dtype=jnp.int32)
+    member = chains.in_chain & ~chains.from_cycle
+    cid = jnp.where(member, chains.chain, E)  # E = dropped
+    row = eid % C
+
+    # chain-level tables (chain id = end-edge id, slots [0, E))
+    is_end = member & (chains.pos == chains.length - 1)
+    h = jnp.clip(g.head, 0, 2 * E - 1)
+    tl = jnp.clip(g.tail, 0, 2 * E - 1)
+    u = jnp.full((E,), BIG).at[jnp.where(chains.is_start & member, cid, E)].set(
+        tl, mode="drop"
+    )
+    v = jnp.full((E,), BIG).at[jnp.where(is_end, cid, E)].set(h, mode="drop")
+    clen = jnp.zeros((E,), jnp.int32).at[
+        jnp.where(chains.is_start & member, cid, E)
+    ].set(chains.length, mode="drop")
+    cov = jnp.zeros((E,), jnp.int32).at[cid].add(
+        jnp.where(member, spec.counts[row], 0), mode="drop"
+    )
+    minrow = jnp.full((E,), BIG).at[cid].min(
+        jnp.where(member, row, BIG), mode="drop"
+    )
+    cvalid = u != BIG
+
+    # group chains by (u, v); within a group order by (-cov, minrow)
+    slot = jnp.arange(E, dtype=jnp.int32)
+    su, sv, sneg, smin, slen, sslot = jax.lax.sort(
+        [u, v, -cov, minrow, clen, slot], num_keys=4
+    )
+    svalid = su != BIG
+    prev_same = (
+        (su == jnp.roll(su, 1)) & (sv == jnp.roll(sv, 1)) & svalid
+    ).at[0].set(False)
+    seg = jnp.cumsum((~prev_same).astype(jnp.int32)) - 1
+    # group passes the length bar iff its MAX chain length < bubble_len
+    seg_maxlen = jnp.zeros((E,), jnp.int32).at[seg].max(slen)
+    # a tie between ranks 0 and 1 poisons the group
+    second = prev_same & ~jnp.roll(prev_same, 1).at[0].set(False)
+    tie = (
+        second
+        & (sneg == jnp.roll(sneg, 1))
+        & (smin == jnp.roll(smin, 1))
+    )
+    seg_tied = jnp.zeros((E,), jnp.bool_).at[seg].max(tie)
+    pop_sorted = (
+        svalid & prev_same & (seg_maxlen[seg] < bubble_len) & ~seg_tied[seg]
+    )
+    popped_chain = jnp.zeros((E,), jnp.bool_).at[sslot].set(pop_sorted)
+
+    edge_popped = member & popped_chain[jnp.clip(cid, 0, E - 1)]
+    drop_row = edge_popped[:C] | edge_popped[C:]
+    return _compact_rows(spec, drop_row)
+
+
+def pop_bubbles(
+    spec: Spectrum, k: int, bubble_rounds: int, bubble_len: int = 0
+) -> tuple[Spectrum, int]:
+    """Iterate bubble popping to a fixed point (bounded rounds). Host loop."""
+    bubble_len = bubble_len or 2 * k
+    total = 0
+    for _ in range(bubble_rounds):
+        spec, n = pop_bubbles_once(spec, k, bubble_len)
+        n = int(n)
+        total += n
+        if n == 0:
+            break
+    return spec, total

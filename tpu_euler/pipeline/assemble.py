@@ -402,14 +402,20 @@ def spectrum_to_contigs(
     t = t if t is not None else {}
     acc = right_size_spectrum(acc)
     graph_step = make_graph_step(cfg.k, cfg.min_count)
-    if cfg.tip_rounds:
-        from tpu_euler.euler.clean import clip_tips
+    if cfg.tip_rounds or cfg.bubble_rounds:
+        from tpu_euler.euler.clean import clip_tips, pop_bubbles
 
         t1 = time.perf_counter()
         acc = apply_cutoff(acc, cfg.min_count)
-        acc, n_clipped = clip_tips(acc, cfg.k, cfg.tip_rounds, cfg.tip_len)
+        if cfg.tip_rounds:
+            acc, n_clipped = clip_tips(acc, cfg.k, cfg.tip_rounds, cfg.tip_len)
+            log.info("tip clipping removed %d k-mers", n_clipped)
+        if cfg.bubble_rounds:
+            acc, n_popped = pop_bubbles(
+                acc, cfg.k, cfg.bubble_rounds, cfg.bubble_len
+            )
+            log.info("bubble popping removed %d k-mers", n_popped)
         t["tips"] = time.perf_counter() - t1
-        log.info("tip clipping removed %d k-mers", n_clipped)
     t2 = time.perf_counter()
     g, cut = graph_step(acc)
     chains = unitig_chains_fast(g, cfg.k)

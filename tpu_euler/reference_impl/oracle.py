@@ -59,6 +59,8 @@ def assemble_oracle(
     min_count: int = 1,
     tip_rounds: int = 0,
     tip_len: int = 0,
+    bubble_rounds: int = 0,
+    bubble_len: int = 0,
 ) -> set[str]:
     """Assemble reads into the canonical contig set. See module docstring.
 
@@ -66,6 +68,9 @@ def assemble_oracle(
     its edge count is < tip_len (default 2k) and EXACTLY one of its ends is
     dead (start node with in-degree 0, or end node with out-degree 0). Tips'
     canonical k-mers are removed (both orientations) and chains recomputed.
+
+    bubble_rounds > 0 then enables iterative simple-bubble popping (see
+    find_bubble_kmers for the exact shared rule).
     """
     if k % 2 == 0 or k < 3:
         raise ValueError("k must be odd and >= 3")
@@ -81,6 +86,12 @@ def assemble_oracle(
         if not tips:
             break
         edges -= tips
+
+    for _ in range(bubble_rounds):
+        pops = find_bubble_kmers(edges, counts, k, bubble_len or 2 * k)
+        if not pops:
+            break
+        edges -= pops
 
     return contigs_from_edges(edges, k)
 
@@ -117,6 +128,73 @@ def find_tip_kmers(edges: set[str], k: int, tip_len: int) -> set[str]:
                 tips.add(e)
                 tips.add(rc(e))
     return tips
+
+
+def find_bubble_kmers(
+    edges: set[str], counts: Counter, k: int, bubble_len: int
+) -> set[str]:
+    """k-mers (both orientations) of all popped bubble branches.
+
+    Shared rule (exactly mirrored by the device path, euler/clean.py:
+    pop_bubbles_once):
+
+    * Candidate chains are the non-cycle unitig chains. Chains are grouped by
+      (start node u = tail of first edge, end node v = head of last edge).
+    * A group is a bubble iff it has >= 2 chains and EVERY chain in it has
+      edge count < bubble_len.
+    * Chains rank by (total canonical-count coverage DESC, minimum canonical
+      k-mer ASC). Both attributes are strand-symmetric, so the mirror group
+      (rc(v), rc(u)) ranks its mirror chains identically and pops the mirror
+      branches — the doubled-graph invariant is preserved.
+    * If the top two chains tie on BOTH attributes the group is skipped
+      (such chains spell the same canonical sequence, i.e. share rows —
+      popping one would delete the other's k-mers too).
+    * Otherwise every chain but the winner is popped: its k-mers removed in
+      both orientations.
+    """
+    out_edges: dict[str, list[str]] = defaultdict(list)
+    in_deg: Counter = Counter()
+    out_deg: Counter = Counter()
+    for e in edges:
+        out_edges[e[:-1]].append(e)
+        out_deg[e[:-1]] += 1
+        in_deg[e[1:]] += 1
+
+    def simple(node: str) -> bool:
+        return in_deg[node] == 1 and out_deg[node] == 1
+
+    def succ(e: str):
+        h = e[1:]
+        return out_edges[h][0] if simple(h) else None
+
+    groups: dict[tuple[str, str], list] = defaultdict(list)
+    for s0 in edges:
+        if simple(s0[:-1]):
+            continue  # not a chain start; pure cycles excluded by construction
+        chain = [s0]
+        e = succ(s0)
+        while e is not None and e != s0:
+            chain.append(e)
+            e = succ(e)
+        u, v = chain[0][:-1], chain[-1][1:]
+        cov = sum(counts[canon(w)] for w in chain)
+        minkmer = min(canon(w) for w in chain)
+        groups[(u, v)].append((-cov, minkmer, chain))
+
+    pops: set[str] = set()
+    for members in groups.values():
+        if len(members) < 2:
+            continue
+        if any(len(c) >= bubble_len for _, _, c in members):
+            continue
+        members.sort(key=lambda m: (m[0], m[1]))
+        if members[0][:2] == members[1][:2]:
+            continue  # ambiguous winner: identical canonical spelling
+        for _, _, chain in members[1:]:
+            for w in chain:
+                pops.add(w)
+                pops.add(rc(w))
+    return pops
 
 
 def contigs_from_edges(edges: set[str], k: int) -> set[str]:
