@@ -92,3 +92,64 @@ def test_sharded_tip_clipping_matches_oracle():
     expected = assemble_oracle(reads, 21, min_count=3, tip_rounds=3)
     assert canonical_contig_set(got.contig_strings) == expected
     assert len(expected) == 1  # clean single-circle recovery
+
+
+def test_dist_tip_step_matches_host_rows():
+    """On-device sharded tip step == host find_tip_rows on every device count."""
+    import jax
+
+    from tpu_euler.dist.count_dist import (
+        DistSpectrum,
+        empty_dist_spectrum,
+        make_dist_count_step,
+    )
+    from tpu_euler.dist.mesh import batch_sharding, fetch_global, make_mesh
+    from tpu_euler.dist.traverse_dist import (
+        find_tip_rows,
+        make_dist_chains_step,
+        make_dist_cutoff_step,
+        make_dist_tip_step,
+    )
+    from tpu_euler.io.encode import encode_reads
+
+    rng = np.random.default_rng(850)
+    genome = random_genome(2500, seed=851)
+    reads = simulate_reads(genome, read_len=100, coverage=25, seed=852, circular=True)
+    for t in range(5):
+        p = int(rng.integers(0, len(genome) - 100))
+        junk = "".join("ACGT"[c] for c in rng.integers(0, 4, 30))
+        reads.extend([(genome[p : p + 70] + junk)[:100]] * 5)
+    cfg = AssemblyConfig(
+        k=21, min_count=3, read_batch=128, read_len=100, spectrum_capacity=1 << 14
+    )
+    for n_dev in (2, 8):
+        mesh = make_mesh(n_dev)
+        c_local = cfg.spectrum_capacity // n_dev
+        windows = cfg.read_batch * cfg.windows_per_read
+        count_step = make_dist_count_step(cfg.k, n_dev, int(2.0 * windows / n_dev + 256), mesh)
+        sharding = batch_sharding(mesh)
+        acc = jax.device_put(
+            empty_dist_spectrum(n_dev, c_local, cfg.nlimbs),
+            DistSpectrum(limbs=sharding, counts=sharding, n=sharding, dropped=sharding),
+        )
+        step_rows = cfg.read_batch * n_dev
+        for i in range(0, len(reads), step_rows):
+            batch = reads[i : i + step_rows]
+            cb = encode_reads(batch, cfg.read_len)
+            if cb.shape[0] < step_rows:
+                cb = np.concatenate(
+                    [cb, np.full((step_rows - cb.shape[0], cfg.read_len), 4, np.int8)]
+                )
+            acc, _ = count_step(jax.device_put(cb, sharding), acc)
+        cut = make_dist_cutoff_step(cfg.min_count, mesh)
+        cl, cc, cn = cut(acc.limbs, acc.counts, acc.n)
+        sc = make_dist_chains_step(cfg.k, n_dev, c_local, mesh)(cl, cc, cn)
+        tip_len = 2 * cfg.k
+        keep_dev, n_tips_dev, drops = make_dist_tip_step(tip_len, n_dev, c_local, mesh)(
+            sc.valid, sc.chain, sc.pos, sc.tail_dead, sc.head_dead
+        )
+        keep_host, n_tips_host = find_tip_rows(sc, cfg.k, tip_len, c_local)
+        assert int(fetch_global(drops)[0]) == 0
+        assert int(fetch_global(n_tips_dev)[0]) == n_tips_host
+        assert n_tips_host > 0  # the dataset really has tips
+        np.testing.assert_array_equal(fetch_global(keep_dev), keep_host)

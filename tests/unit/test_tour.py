@@ -132,3 +132,64 @@ def test_non_eulerian_graph_path_cover():
     pairs = {(chain[e], pos[e]) for e in np.flatnonzero(valid)}
     assert len(pairs) == valid.sum()
     assert int(t.n_chains) == 2  # one path per strand
+
+
+def _assert_valid_tour(g, t):
+    """Full tour invariants: unique (chain,pos) slots, adjacency within
+    chains, succ a partial injection respecting adjacency."""
+    succ, chain, pos, length, valid, tail, head = tour_arrays(g, t)
+    n_valid = int(valid.sum())
+    pairs = {(chain[e], pos[e]) for e in np.flatnonzero(valid)}
+    assert len(pairs) == n_valid
+    taken = succ[succ >= 0]
+    assert len(taken) == len(set(taken.tolist()))
+    for e in np.flatnonzero(valid):
+        if succ[e] >= 0:
+            assert tail[succ[e]] == head[e]
+    order = np.lexsort((pos, chain))
+    ov = order[valid[order]]
+    for i in range(len(ov) - 1):
+        a, b = ov[i], ov[i + 1]
+        if chain[a] == chain[b]:
+            assert head[a] == tail[b]
+
+
+@pytest.mark.parametrize("m,seed", [(64, 41), (200, 42)])
+def test_adversarial_tangent_circuits(m, seed):
+    """Hundreds of circuits sharing ONE hub repeat — the O(C)-round worst case
+    for swap-based swipes. The rotation merge must converge in O(log E) rounds
+    with a valid every-edge-once tour."""
+    k = 21
+    hub = random_genome(k + 4, seed=seed)  # shared repeat >= k: common vertices
+    blocks = [random_genome(40, seed=seed + 100 + i) for i in range(m)]
+    genome = "".join(hub + b for b in blocks)
+    # circular sliding reads so the doubled graph is Eulerian
+    gg = genome + genome
+    reads = [gg[i : i + 80] for i in range(0, len(genome), 7)]
+    g = graph_from_reads(reads, k, read_len=80)
+    t = eulerian_tour(g)
+    _assert_valid_tour(g, t)
+    E = int(g.edge_limbs.shape[0])
+    bound = 2 * max(1, (E - 1).bit_length()) + 4
+    assert int(t.merge_rounds) <= bound, (
+        f"merge took {int(t.merge_rounds)} rounds (> {bound}) for {m} blocks"
+    )
+
+
+def test_adversarial_multi_hub_interleaved():
+    """Several distinct hubs, each shared by many circuits, interleaved."""
+    k = 21
+    rng = np.random.default_rng(77)
+    hubs = [random_genome(k + 2, seed=500 + h) for h in range(4)]
+    parts = []
+    for i in range(120):
+        parts.append(hubs[int(rng.integers(0, 4))])
+        parts.append(random_genome(30, seed=600 + i))
+    genome = "".join(parts)
+    gg = genome + genome
+    reads = [gg[i : i + 80] for i in range(0, len(genome), 6)]
+    g = graph_from_reads(reads, k, read_len=80)
+    t = eulerian_tour(g)
+    _assert_valid_tour(g, t)
+    E = int(g.edge_limbs.shape[0])
+    assert int(t.merge_rounds) <= 2 * max(1, (E - 1).bit_length()) + 4

@@ -118,18 +118,24 @@ def assemble_reads_distributed(
         sc = chains_step(cl, cc, cn)
         if cfg.tip_rounds:
             from tpu_euler.dist.traverse_dist import (
-                find_tip_rows,
                 make_dist_compact_step,
+                make_dist_tip_step,
             )
 
             compact_step = make_dist_compact_step(mesh)
             tip_len = cfg.tip_len or 2 * cfg.k
+            tip_step = make_dist_tip_step(tip_len, n_dev, c_local, mesh)
             for _ in range(cfg.tip_rounds):
-                keep, n_tips = find_tip_rows(sc, cfg.k, tip_len, c_local)
-                if n_tips == 0:
+                keep, n_tips_a, tip_drops = tip_step(
+                    sc.valid, sc.chain, sc.pos, sc.tail_dead, sc.head_dead
+                )
+                if int(fetch_global(tip_drops)[0]):
+                    raise RuntimeError(
+                        "tip-step slab overflow: raise slab_factor"
+                    )
+                if int(fetch_global(n_tips_a)[0]) == 0:
                     break
-                keep_dev = jax.device_put(keep, sharding)
-                cl, cc, cn = compact_step(cl, cc, cn, keep_dev)
+                cl, cc, cn = compact_step(cl, cc, cn, keep)
                 sc = chains_step(cl, cc, cn)
         jax.block_until_ready(sc)
         t["graph"] = time.perf_counter() - t2

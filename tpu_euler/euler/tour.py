@@ -12,14 +12,22 @@ pointer chasing + flag-polling loops; the TPU-native recasting is:
 * R8: chain labels by pointer doubling — cycle edges take the min edge id on
   their cycle, path edges take their terminal edge id (offset by E so the two
   namespaces stay disjoint).
-* R9: each round, every vertex proposes merging one non-minimal circuit into its
-  minimal-label chain by swapping the successors of the two predecessor edges;
-  proposals are deduplicated (one per source circuit, one per target edge) with
-  scatter-mins so all swaps in a round touch disjoint positions; a
-  ``lax.while_loop`` iterates to a fixed point (no proposals left). Only cycles
-  are merge *sources* (merging two paths can oscillate); a cycle can merge into
-  a path or a smaller-labeled cycle, so Eulerian components converge to a single
-  circuit and path components absorb all circuits they touch.
+* R9: each round, EVERY non-minimal circuit merges into the minimal-label
+  chain at one vertex it shares with a smaller chain, via per-vertex cyclic
+  successor rotations: at each vertex the participants are one representative
+  out-edge of the vertex-min chain plus one out-edge of each merging circuit
+  (ordered by label), and ``succ[pred[x_i]] = x_{i+1 (mod m+1)}`` splices all
+  of them into one chain in a single round. Writes never conflict (pred is
+  injective; every participant belongs to exactly one vertex group) and no
+  round can split a chain: every merge points to a strictly smaller label, so
+  the per-round merge graph is a forest. Survivors of a round are local
+  minima — adjacent circuits can't both survive — so circuits shrink
+  geometrically and the ``lax.while_loop`` converges in O(log C) rounds
+  (bounded by 2*log2(E)+4; exits early at the no-proposals fixed point).
+  Only cycles are merge *sources* (merging two paths can oscillate); a cycle
+  can merge into a path or a smaller-labeled cycle, so Eulerian components
+  converge to a single circuit and path components absorb all circuits they
+  touch.
 
 Output: the successor permutation of the final tour plus (chain, pos) ranks from
 Wyllie list ranking — the device-side edge order of the Eulerian circuit(s).
@@ -44,6 +52,7 @@ class EulerTour(NamedTuple):
     length: jax.Array  # [E] int32 — chain length at each edge
     n_chains: jax.Array  # [] int32 — number of chains (circuits+paths)
     in_tour: jax.Array  # [E] bool — valid edges
+    merge_rounds: jax.Array  # [] int32 — swipe rounds used (O(log C) bound)
 
 
 def _pair_successors(g: DeBruijnGraph) -> jax.Array:
@@ -124,7 +133,7 @@ def eulerian_tour(g: DeBruijnGraph, max_rounds: int = 0) -> EulerTour:
 
     def merge_cond(state):
         _, changed, it = state
-        return changed & (it < (max_rounds or E))
+        return changed & (it < (max_rounds or 2 * _log2_ceil(E) + 4))
 
     def merge_body(state):
         succ, _, it = state
@@ -143,30 +152,47 @@ def eulerian_tour(g: DeBruijnGraph, max_rounds: int = 0) -> EulerTour:
             jnp.where(valid & (label == at_v), g.tail, 2 * E - 1)
         ].min(eid)
 
-        # candidate source edges: cycle edges whose label is not the vertex min
+        # source edges: cycle edges whose label is not the vertex min;
+        # ONE per source circuit (so the merge graph is a forest into
+        # strictly smaller labels — no splices can split)
         cand = valid & on_cycle & (label != at_v)
-        # dedupe 1: one proposal per source circuit label
         by_label = jnp.full((2 * E,), E, jnp.int32).at[
             jnp.where(cand, label, 2 * E - 1)
         ].min(eid)
-        keep1 = cand & (by_label[jnp.clip(label, 0, 2 * E - 1)] == eid)
-        # target edge for surviving proposals
-        a = rep[jnp.clip(g.tail, 0, 2 * E - 1)]
-        # dedupe 2: one proposal per target edge a
-        by_a = jnp.full((E + 1,), E, jnp.int32).at[
-            jnp.where(keep1, jnp.clip(a, 0, E), E)
-        ].min(eid)
-        keep = keep1 & (a < E) & (by_a[jnp.clip(a, 0, E - 1)] == eid)
+        is_src = cand & (by_label[jnp.clip(label, 0, 2 * E - 1)] == eid)
 
-        pa = jnp.where(keep, pred[jnp.clip(a, 0, E - 1)], -1)
-        pb = jnp.where(keep, pred, -1)
-        ok = keep & (pa >= 0) & (pb >= 0)
-        # apply swaps: succ[pa] = f (the source edge), succ[pb] = a
-        succ2 = succ.at[jnp.where(ok, pa, E)].set(eid, mode="drop")
-        succ2 = succ2.at[jnp.where(ok, pb, E)].set(
-            jnp.where(ok, a, -1), mode="drop"
+        # a vertex hosts a rotation iff it has >= 1 source; its rep edge joins
+        has_src = jnp.zeros((2 * E,), jnp.bool_).at[
+            jnp.where(is_src, g.tail, 2 * E)
+        ].set(True, mode="drop")
+        is_rep = (
+            valid
+            & has_src[jnp.clip(g.tail, 0, 2 * E - 1)]
+            & (rep[jnp.clip(g.tail, 0, 2 * E - 1)] == eid)
         )
-        changed = jnp.any(ok)
+        part = is_src | is_rep
+
+        # per-vertex rotation order: rep first, then sources by label
+        vkey = jnp.where(part, g.tail, 2 * E).astype(jnp.uint32)
+        skey = jnp.where(is_rep, jnp.uint32(0), jnp.uint32(1))
+        lkey = label.astype(jnp.uint32)
+        sv, _, _, sx = jax.lax.sort([vkey, skey, lkey, eid], num_keys=3)
+        idx = jnp.arange(E, dtype=jnp.int32)
+        grp_new = (sv != jnp.roll(sv, 1)).at[0].set(True)
+        gstart = jax.lax.cummax(jnp.where(grp_new, idx, -1))
+        nxt_same = jnp.concatenate(
+            [sv[1:] == sv[:-1], jnp.zeros((1,), jnp.bool_)]
+        )
+        nxt = jnp.where(
+            nxt_same, jnp.roll(sx, -1), sx[jnp.clip(gstart, 0, E - 1)]
+        )
+        live = sv != jnp.uint32(2 * E)
+        # splice: succ[pred[x_i]] = x_{i+1 (mod group)}
+        px = jnp.where(live, pred[jnp.clip(sx, 0, E - 1)], -1)
+        succ2 = succ.at[jnp.where(px >= 0, px, E)].set(
+            jnp.where(px >= 0, nxt, -1), mode="drop"
+        )
+        changed = jnp.any(is_src)
         return succ2, changed, it + 1
 
     succ, _, n_rounds = jax.lax.while_loop(
@@ -200,4 +226,5 @@ def eulerian_tour(g: DeBruijnGraph, max_rounds: int = 0) -> EulerTour:
         length=length,
         n_chains=jnp.sum(is_start.astype(jnp.int32)),
         in_tour=valid,
+        merge_rounds=n_rounds,
     )

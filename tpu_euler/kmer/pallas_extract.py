@@ -69,19 +69,35 @@ def _canonical_limbs(fwd, rev):
     return [jnp.where(lt, r, f) for f, r in zip(fwd, rev)]
 
 
-def _extract_kernel(k: int, W: int):
-    def kernel(codes_ref, limbs_ref, valid_ref):
+def _extract_kernel(k: int, W: int, L: int):
+    def kernel(codes_ref, *out_refs):
+        # per-limb 2-D outputs: a [B, W, L] output would tile the minor dim
+        # L -> 128 under the TPU (8,128) layout (64x VMEM waste -> stack OOM)
         codes = codes_ref[:].astype(jnp.int32)
         fwd = _pack_windows(codes, k, W)
         rev = _revcomp_limbs(fwd, k)
         canon = _canonical_limbs(fwd, rev)
-        limbs_ref[:] = jnp.stack(canon, axis=-1)
+        for j in range(L):
+            out_refs[j][:] = canon[j]
         ok = jnp.ones(codes.shape[:1] + (W,), jnp.bool_)
         for i in range(k):
             ok = ok & (codes[:, i : i + W] != 4)
-        valid_ref[:] = ok
+        out_refs[L][:] = ok
 
     return kernel
+
+
+def extract_canonical_auto(
+    codes: jax.Array, k: int, block_reads: int = 256
+) -> tuple[jax.Array, jax.Array]:
+    """Pallas extraction on TPU backends, XLA path elsewhere (the fallback the
+    module contract promises: interpret-mode Pallas is far slower than the XLA
+    window-pack on CPU, so non-TPU callers get the XLA kernel)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return extract_canonical_pallas(codes, k, block_reads)
+    from tpu_euler.kmer.extract import extract_canonical_kmers
+
+    return extract_canonical_kmers(codes, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_reads", "interpret"))
@@ -99,20 +115,22 @@ def extract_canonical_pallas(
         )
     Rp = codes.shape[0]
     grid = (Rp // block_reads,)
-    limbs, valid = pl.pallas_call(
-        _extract_kernel(k, W),
+    spec2d = pl.BlockSpec(
+        (block_reads, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _extract_kernel(k, W, L),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_reads, Lmax), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((block_reads, W, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_reads, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Rp, W, L), jnp.uint32),
-            jax.ShapeDtypeStruct((Rp, W), jnp.bool_),
-        ),
+        out_specs=tuple([spec2d] * L) + (spec2d,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((Rp, W), jnp.uint32) for _ in range(L)
+        )
+        + (jax.ShapeDtypeStruct((Rp, W), jnp.bool_),),
         interpret=interpret,
     )(codes)
+    limbs = jnp.stack(out[:L], axis=-1)
+    valid = out[L]
     return limbs[:R].reshape(R * W, L), valid[:R].reshape(R * W)

@@ -100,18 +100,65 @@ def simulate_read_codes(
     if max_start <= 0:
         raise ValueError("genome shorter than read length")
     starts = rng.integers(0, max_start, n_reads)
-    offs = (starts[:, None] + np.arange(read_len)[None, :]) % G if circular else (
-        starts[:, None] + np.arange(read_len)[None, :]
-    )
-    codes = g[offs]
+    codes = np.empty((n_reads, read_len), np.int8)
+    rl = np.arange(read_len)[None, :]
+    chunk = 1 << 22  # bound the int64 offset intermediate at config-5 scale
+    for lo in range(0, n_reads, chunk):
+        s = starts[lo : lo + chunk]
+        offs = (s[:, None] + rl) % G if circular else s[:, None] + rl
+        codes[lo : lo + len(s)] = g[offs]
     if both_strands:
         flip = rng.integers(0, 2, n_reads).astype(bool)
         codes[flip] = (3 - codes[flip])[:, ::-1]
     if error_rate > 0.0:
-        mask = rng.random(codes.shape) < error_rate
-        shift = rng.integers(1, 4, codes.shape).astype(np.int8)
-        codes = np.where(mask, (codes + shift) % 4, codes)
-    return codes.astype(np.int8)
+        for lo in range(0, n_reads, chunk):
+            c = codes[lo : lo + chunk]
+            mask = rng.random(c.shape) < error_rate
+            shift = rng.integers(1, 4, c.shape).astype(np.int8)
+            codes[lo : lo + chunk] = np.where(mask, (c + shift) % 4, c)
+    return codes
+
+
+def simulate_paired_read_codes(
+    genome: str,
+    read_len: int = 100,
+    coverage: float = 30.0,
+    seed: int = 0,
+    insert_size: int = 300,
+    circular: bool = True,
+    chunk: int = 1 << 22,
+) -> np.ndarray:
+    """Vectorized paired-end simulator: [2*n_frag, read_len] int8 codes.
+
+    Same fragment model as simulate_reads(paired=True): each fragment yields a
+    forward mate (first read_len bases) and a reverse-complement mate (last
+    read_len bases, revcomp'd). Generated in chunks so the int64 offset
+    intermediate stays bounded at full-organism scale (config 4: 7.2M pairs).
+    """
+    rng = np.random.default_rng(seed)
+    lut = np.full(256, 4, dtype=np.int8)
+    for i, b in enumerate(b"ACGT"):
+        lut[b] = i
+    g = lut[np.frombuffer(genome.encode(), dtype=np.uint8)]
+    G = len(g)
+    n_frag = int(np.ceil(coverage * G / (2 * read_len)))
+    max_start = G if circular else G - insert_size + 1
+    if max_start <= 0:
+        raise ValueError("genome shorter than insert size")
+    starts = rng.integers(0, max_start, n_frag)
+    out = np.empty((2 * n_frag, read_len), np.int8)
+    rl = np.arange(read_len)[None, :]
+    for lo in range(0, n_frag, chunk):
+        s = starts[lo : lo + chunk]
+        o1 = (s[:, None] + rl) % G if circular else s[:, None] + rl
+        o2 = (
+            (s[:, None] + (insert_size - read_len) + rl) % G
+            if circular
+            else s[:, None] + (insert_size - read_len) + rl
+        )
+        out[2 * lo : 2 * lo + 2 * len(s) : 2] = g[o1]
+        out[2 * lo + 1 : 2 * lo + 1 + 2 * len(s) : 2] = (3 - g[o2])[:, ::-1]
+    return out
 
 
 def _add_errors(reads: list[str], rate: float, rng: np.random.Generator) -> list[str]:
