@@ -49,7 +49,7 @@ def main():
     codes = jnp.asarray(codes_np)
     sync(codes)
 
-    for k in (31, 41):
+    for k in (21, 31, 41):
         print(f"-- k={k}")
         xla = lambda c: extract_canonical_kmers(c, k)
         t_x = timeit(f"XLA window-pack extract k={k}", xla, codes)

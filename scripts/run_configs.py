@@ -70,7 +70,7 @@ def main() -> int:
              min_count=1, tips=0, mesh=0, paired=False),
         dict(name="3 E.coli-scale errored reads + cutoff k=31",
              genome=genome_of(4_600_000), k=31, cov=40, err=0.004,
-             min_count=4, tips=3, mesh=0, paired=False),
+             min_count=4, tips=3, bubbles=2, mesh=0, paired=False),
         dict(name="4 yeast-scale 60x paired-end k=31 sharded 2 ways",
              genome=genome_of(12_000_000), k=31, cov=60, err=0.0,
              min_count=1, tips=0, mesh=2, paired=True),
@@ -89,6 +89,7 @@ def main() -> int:
         cap = 1 << max(14, (3 * len(c["genome"])).bit_length())
         cfg = AssemblyConfig(
             k=c["k"], min_count=c["min_count"], tip_rounds=c["tips"],
+            bubble_rounds=c.get("bubbles", 0),
             read_batch=4096, read_len=100, spectrum_capacity=cap,
         )
         t0 = time.perf_counter()
@@ -100,7 +101,8 @@ def main() -> int:
             res = assemble_reads(reads, cfg)
         wall = time.perf_counter() - t0
         oracle = assemble_oracle(
-            reads, c["k"], c["min_count"], tip_rounds=c["tips"]
+            reads, c["k"], c["min_count"], tip_rounds=c["tips"],
+            bubble_rounds=c.get("bubbles", 0),
         )
         ok = canonical_contig_set(res.contig_strings) == oracle
         all_ok &= ok

@@ -28,7 +28,15 @@ _U32 = jnp.uint32
 
 
 def _pack_windows(codes, k: int, W: int):
-    """codes [B, Lmax] int32 -> list of L limb arrays [B, W] (big-endian)."""
+    """codes [B, Lmax] int32 -> list of L limb arrays [B, W] (big-endian).
+
+    Interpret-mode/reference form ONLY. On real TPU the direct
+    ``(codes[:, i:i+W] & 3) << shift`` MISCOMPILES: Mosaic packs values
+    provably < 2^16 into 16-bit lanes and any single shift that pushes them
+    past bit 15 silently produces 0 (measured: scripts/debug_pallas4/5/6.py —
+    isolated shifts of full-range loads are fine; <<16..22 of the masked
+    2-bit slices return zeros). The real-TPU kernel uses _pack_roll instead.
+    """
     L = K.nlimbs(k)
     limbs = []
     for a in range(L):
@@ -69,13 +77,45 @@ def _canonical_limbs(fwd, rev):
     return [jnp.where(lt, r, f) for f, r in zip(fwd, rev)]
 
 
-def _extract_kernel(k: int, W: int, L: int):
+def _pack_roll(src, k: int, W: int, reverse: bool):
+    """Horner/roll window pack of per-base values ``src`` [B, Lmax] u32.
+
+    reverse=False: big-endian key of bases w..w+k-1 (the forward k-mer).
+    reverse=True: big-endian key of bases w+k-1..w (feed complemented codes to
+    get the reverse complement directly — this avoids _rev2bit32's wide shifts
+    of provably-small values, the Mosaic 16-bit-lane-packing miscompile that
+    scripts/debug_pallas4/5/6.py pinned down; Horner only ever shifts by 2).
+    """
+    from jax.experimental.pallas import tpu as _pltpu
+
+    L = K.nlimbs(k)
+    Lmax = src.shape[1]
+    limbs = []
+    for a in range(L):
+        lj = L - 1 - a
+        lo_i = max(0, k - 16 * lj - 16)
+        hi_i = k - 1 - 16 * lj
+        acc = None
+        for j in range(lo_i, hi_i + 1):
+            i = (k - 1 - j) if reverse else j
+            r = _pltpu.roll(src, Lmax - i, 1) if i else src
+            acc = r if acc is None else ((acc << _U32(2)) | r)
+        limbs.append(acc[:, :W])
+    return limbs
+
+
+def _extract_kernel(k: int, W: int, L: int, rolled: bool):
     def kernel(codes_ref, *out_refs):
         # per-limb 2-D outputs: a [B, W, L] output would tile the minor dim
         # L -> 128 under the TPU (8,128) layout (64x VMEM waste -> stack OOM)
         codes = codes_ref[:].astype(jnp.int32)
-        fwd = _pack_windows(codes, k, W)
-        rev = _revcomp_limbs(fwd, k)
+        if rolled:
+            cm = codes.astype(_U32) & _U32(3)
+            fwd = _pack_roll(cm, k, W, reverse=False)
+            rev = _pack_roll(cm ^ _U32(3), k, W, reverse=True)
+        else:
+            fwd = _pack_windows(codes, k, W)
+            rev = _revcomp_limbs(fwd, k)
         canon = _canonical_limbs(fwd, rev)
         for j in range(L):
             out_refs[j][:] = canon[j]
@@ -119,7 +159,7 @@ def extract_canonical_pallas(
         (block_reads, W), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        _extract_kernel(k, W, L),
+        _extract_kernel(k, W, L, rolled=not interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_reads, Lmax), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -58,12 +58,14 @@ def make_count_step(k: int, read_len: int):
     Spectrum overflow is detected by the caller via ``spectrum_overflowed``.
     """
 
+    from tpu_euler.kmer.pallas_extract import extract_canonical_auto
+
     @functools.partial(jax.jit, donate_argnums=(2,))
     def step(packed: jax.Array, nmask: jax.Array, acc: Spectrum):
         from tpu_euler.kmer.count import _unique_counts
 
         codes = unpack_codes(packed, nmask, read_len)
-        limbs, valid = extract_canonical_kmers(codes, k)
+        limbs, valid = extract_canonical_auto(codes, k)
         C = acc.limbs.shape[0]
         all_limbs = jnp.concatenate([acc.limbs, limbs], axis=0)
         weights = jnp.concatenate(
@@ -115,13 +117,17 @@ def make_extract_fill_step(k: int, read_len: int):
     per-limb 1-D arrays: 2-D [T, L] device arrays risk the TPU T(8,128) tiled
     layout padding the minor dim L->128 (64x memory), and every downstream op
     (sort, scatter) is cheaper on flat lanes.
+
+    Extraction uses the fused Pallas kernel on TPU backends (A/B'd on-chip at
+    1.65x the XLA window-pack — PERF.md "Pallas A/B"); the XLA path elsewhere.
     """
     assert k % 16 != 0  # sentinel encoding requires spare bits in limb 0
+    from tpu_euler.kmer.pallas_extract import extract_canonical_auto
 
     @functools.partial(jax.jit, donate_argnums=(2,))
     def step(packed: jax.Array, nmask: jax.Array, buf: tuple, start: jax.Array):
         codes = unpack_codes(packed, nmask, read_len)
-        limbs, valid = extract_canonical_kmers(codes, k)
+        limbs, valid = extract_canonical_auto(codes, k)
         limbs = jnp.where(valid[:, None], limbs, jnp.uint32(0xFFFFFFFF))
         buf = tuple(
             jax.lax.dynamic_update_slice(buf[j], limbs[:, j], (start,))
