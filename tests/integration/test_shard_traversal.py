@@ -153,3 +153,32 @@ def test_dist_tip_step_matches_host_rows():
         assert int(fetch_global(n_tips_dev)[0]) == n_tips_host
         assert n_tips_host > 0  # the dataset really has tips
         np.testing.assert_array_equal(fetch_global(keep_dev), keep_host)
+
+
+def test_slab_overflow_auto_retry(dataset, caplog):
+    """A too-small first slab factor overflows, is caught, and the retry at a
+    sane factor still produces oracle-equal contigs (VERDICT r1 weak #7)."""
+    import logging
+
+    _, reads = dataset
+    cfg = AssemblyConfig(k=21, read_batch=128, read_len=100, spectrum_capacity=1 << 15)
+    with caplog.at_level(logging.WARNING, logger="tpu_euler"):
+        got = assemble_reads_distributed(
+            reads, cfg, n_devices=4, shard_traversal=True,
+            slab_factors=(0.02, 2.0),
+        )
+    assert canonical_contig_set(got.contig_strings) == assemble_oracle(reads, cfg.k)
+    assert any("retrying with a bigger slab" in r.message for r in caplog.records)
+
+
+def test_slab_overflow_exhausted_raises(dataset):
+    """When every slab factor overflows, the failure is loud and actionable."""
+    import pytest as _pytest
+
+    _, reads = dataset
+    cfg = AssemblyConfig(k=21, read_batch=128, read_len=100, spectrum_capacity=1 << 15)
+    with _pytest.raises(RuntimeError, match="slab_factor"):
+        assemble_reads_distributed(
+            reads, cfg, n_devices=4, shard_traversal=True,
+            slab_factors=(0.02,),
+        )

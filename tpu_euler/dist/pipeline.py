@@ -27,6 +27,10 @@ from tpu_euler.dist.mesh import batch_sharding, fetch_global, make_mesh
 from tpu_euler.io.encode import encode_reads
 from tpu_euler.pipeline.assemble import AssemblyResult, spectrum_to_contigs
 
+
+class _SlabOverflow(RuntimeError):
+    """An all_to_all slab dropped records (owner imbalance) — retryable."""
+
 log = logging.getLogger("tpu_euler")
 
 
@@ -37,6 +41,7 @@ def assemble_reads_distributed(
     dest_capacity_factor: float = 2.0,
     shard_traversal: bool = False,
     codes=None,
+    slab_factors: tuple = (2.0, 4.0, 8.0),
 ) -> AssemblyResult:
     """Data-parallel assembly over a 1-D device mesh.
 
@@ -113,38 +118,70 @@ def assemble_reads_distributed(
 
         t2 = time.perf_counter()
         cut_step = make_dist_cutoff_step(cfg.min_count, mesh)
-        cl, cc, cn = cut_step(acc.limbs, acc.counts, acc.n)
-        chains_step = make_dist_chains_step(cfg.k, n_dev, c_local, mesh)
-        sc = chains_step(cl, cc, cn)
-        if cfg.tip_rounds:
-            from tpu_euler.dist.traverse_dist import (
-                make_dist_compact_step,
-                make_dist_tip_step,
-            )
+        cl0, cc0, cn0 = cut_step(acc.limbs, acc.counts, acc.n)
 
-            compact_step = make_dist_compact_step(mesh)
-            tip_len = cfg.tip_len or 2 * cfg.k
-            tip_step = make_dist_tip_step(tip_len, n_dev, c_local, mesh)
-            for _ in range(cfg.tip_rounds):
-                keep, n_tips_a, tip_drops = tip_step(
-                    sc.valid, sc.chain, sc.pos, sc.tail_dead, sc.head_dead
-                )
-                if int(fetch_global(tip_drops)[0]):
-                    raise RuntimeError(
-                        "tip-step slab overflow: raise slab_factor"
-                    )
-                if int(fetch_global(n_tips_a)[0]) == 0:
-                    break
-                cl, cc, cn = compact_step(cl, cc, cn, keep)
-                sc = chains_step(cl, cc, cn)
-        jax.block_until_ready(sc)
-        t["graph"] = time.perf_counter() - t2
-        sdrop = int(fetch_global(sc.dropped).sum())
-        if sdrop:
-            raise RuntimeError(
-                f"{sdrop} records dropped in sharded-traversal slabs: raise "
-                f"slab_factor (owner imbalance)"
+        def run_traversal(slab_factor: float):
+            """One traversal attempt at the given slab factor.
+
+            Raises _SlabOverflow when any all_to_all slab dropped records so
+            the caller can retry with bigger slabs (steps are not donated, so
+            the cutoff spectrum stays reusable across attempts).
+            """
+            cl, cc, cn = cl0, cc0, cn0
+            chains_step = make_dist_chains_step(
+                cfg.k, n_dev, c_local, mesh, slab_factor=slab_factor
             )
+            sc = chains_step(cl, cc, cn)
+            if cfg.tip_rounds:
+                from tpu_euler.dist.traverse_dist import (
+                    make_dist_compact_step,
+                    make_dist_tip_step,
+                )
+
+                compact_step = make_dist_compact_step(mesh)
+                tip_len = cfg.tip_len or 2 * cfg.k
+                tip_step = make_dist_tip_step(
+                    tip_len, n_dev, c_local, mesh, slab_factor=slab_factor
+                )
+                for _ in range(cfg.tip_rounds):
+                    keep, n_tips_a, tip_drops = tip_step(
+                        sc.valid, sc.chain, sc.pos, sc.tail_dead, sc.head_dead
+                    )
+                    if int(fetch_global(tip_drops)[0]):
+                        raise _SlabOverflow("tip-step slab overflow")
+                    if int(fetch_global(n_tips_a)[0]) == 0:
+                        break
+                    cl, cc, cn = compact_step(cl, cc, cn, keep)
+                    sc = chains_step(cl, cc, cn)
+            jax.block_until_ready(sc)
+            sdrop = int(fetch_global(sc.dropped).sum())
+            if sdrop:
+                raise _SlabOverflow(
+                    f"{sdrop} records dropped in sharded-traversal slabs"
+                )
+            return sc, cn
+
+        sc = cn = None
+        last_err: Exception | None = None
+        for slab_factor in slab_factors:
+            try:
+                sc, cn = run_traversal(slab_factor)
+                break
+            except _SlabOverflow as e:
+                last_err = e
+                log.warning(
+                    "%s at slab_factor=%.2f; retrying with a bigger slab "
+                    "(owner imbalance; retry recompiles the traversal)",
+                    e,
+                    slab_factor,
+                )
+        if sc is None:
+            raise RuntimeError(
+                f"sharded-traversal slabs overflowed even at slab_factor="
+                f"{slab_factors[-1]}: pathological owner imbalance — raise "
+                f"spectrum_capacity or device count"
+            ) from last_err
+        t["graph"] = time.perf_counter() - t2
         t3 = time.perf_counter()
         contigs = shard_chains_to_contigs(sc, cfg.k)
         t["extract"] = time.perf_counter() - t3
