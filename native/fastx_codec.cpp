@@ -89,6 +89,53 @@ inline void encode_row(const char* seq, size_t seq_len, const char* qual,
   if (n < (size_t)read_len) memset(row + n, 4, read_len - n);
 }
 
+// --- byte-range resync (per-host file shards, SURVEY.md D2) ---------------
+//
+// A shard owns the records that START inside its byte range [begin, end);
+// ranges are resynced forward to the next record boundary, so N shards
+// covering [0, size) parse every record exactly once and each host touches
+// only ~size/N bytes (vs. record striding, which re-parses the whole file on
+// every host).
+
+inline int64_t line_len(const char* s, const char* after) {
+  return (after - s) - (after > s && after[-1] == '\n' ? 1 : 0);
+}
+
+// First FASTQ record start at or after byte `off`. A line is a record header
+// iff it starts with '@', the line two below starts with '+', and the
+// sequence/quality line lengths match (guards against '@' in quality lines).
+int64_t fq_resync(const char* data, int64_t size, int64_t off) {
+  if (off <= 0) return 0;
+  if (off >= size) return size;
+  const char* end = data + size;
+  const char* p = data + off;
+  if (data[off - 1] != '\n') p = next_line(p, end);
+  while (p < end) {
+    if (*p == '@') {
+      const char* l1 = next_line(p, end);
+      const char* l2 = next_line(l1, end);
+      if (l2 < end && *l2 == '+') {
+        const char* l3 = next_line(l2, end);
+        const char* l4 = next_line(l3, end);
+        if (line_len(l1, l2) == line_len(l3, l4)) return p - data;
+      }
+    }
+    p = next_line(p, end);
+  }
+  return size;
+}
+
+// First FASTA record start ('>' at line start) at or after byte `off`.
+int64_t fa_resync(const char* data, int64_t size, int64_t off) {
+  if (off <= 0) return 0;
+  if (off >= size) return size;
+  const char* end = data + size;
+  const char* p = data + off;
+  if (data[off - 1] != '\n') p = next_line(p, end);
+  while (p < end && *p != '>') p = next_line(p, end);
+  return p - data;
+}
+
 }  // namespace
 
 extern "C" {
@@ -208,6 +255,144 @@ int64_t fa_encode(const char* path, int8_t* out, int64_t max_reads,
         // keep consuming but drop overflow (record truncated at read_len)
         filled = read_len;
       }
+    }
+  }
+  if (filled >= 0 && r < max_reads && filled >= min_len_keep) {
+    if (filled < read_len) memset(row + filled, 4, read_len - filled);
+    ++r;
+  }
+  unmap(m);
+  return r;
+}
+
+// Scan one byte-range shard of a FASTQ file: count + max length of records
+// STARTING in [begin, end) after resync. shard i of n passes
+// begin = i*size/n, end = (i+1)*size/n (any cover of [0, size) works).
+int fq_scan_range(const char* path, int64_t begin, int64_t end_off,
+                  int64_t* n_reads, int64_t* max_len) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  const int64_t b = fq_resync(m.data, m.size, begin);
+  const int64_t e = fq_resync(m.data, m.size, end_off);
+  const char* p = m.data + b;
+  const char* stop = m.data + e;  // records must START before stop
+  const char* end = m.data + m.size;
+  int64_t count = 0, maxlen = 0;
+  while (p < stop) {
+    if (*p != '@') break;
+    p = next_line(p, end);
+    const char* seq = p;
+    p = next_line(p, end);
+    int64_t len = line_len(seq, p);
+    if (len > maxlen) maxlen = len;
+    p = next_line(p, end);
+    p = next_line(p, end);
+    ++count;
+  }
+  unmap(m);
+  *n_reads = count;
+  *max_len = maxlen;
+  return 0;
+}
+
+// Parse + encode one byte-range shard of a FASTQ file (see fq_scan_range).
+int64_t fq_encode_range(const char* path, int64_t begin, int64_t end_off,
+                        int8_t* out, int64_t max_reads, int32_t read_len,
+                        int8_t min_qual, int32_t min_len_keep) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  const int64_t b = fq_resync(m.data, m.size, begin);
+  const int64_t e = fq_resync(m.data, m.size, end_off);
+  const char* p = m.data + b;
+  const char* stop = m.data + e;
+  const char* end = m.data + m.size;
+  int64_t r = 0;
+  while (p < stop && r < max_reads) {
+    if (*p != '@') break;
+    p = next_line(p, end);
+    const char* seq = p;
+    p = next_line(p, end);
+    int64_t slen = line_len(seq, p);
+    p = next_line(p, end);
+    const char* qual = p;
+    p = next_line(p, end);
+    if (slen >= min_len_keep) {
+      encode_row(seq, slen, min_qual > 0 ? qual : nullptr, min_qual,
+                 out + r * (int64_t)read_len, read_len);
+      ++r;
+    }
+  }
+  unmap(m);
+  return r;
+}
+
+// Scan one byte-range shard of a FASTA file (records starting in range;
+// multi-line records owned by this shard are followed past end_off).
+int fa_scan_range(const char* path, int64_t begin, int64_t end_off,
+                  int64_t* n_reads, int64_t* max_len) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  const int64_t b = fa_resync(m.data, m.size, begin);
+  const int64_t e = fa_resync(m.data, m.size, end_off);
+  const char* p = m.data + b;
+  const char* stop = m.data + e;
+  const char* end = m.data + m.size;
+  int64_t count = 0, maxlen = 0, cur = -1;
+  while (p < end) {
+    if (*p == '>') {
+      if (p >= stop) break;  // next shard's record
+      if (cur > maxlen) maxlen = cur;
+      ++count;
+      cur = 0;
+      p = next_line(p, end);
+    } else {
+      const char* seq = p;
+      p = next_line(p, end);
+      if (cur >= 0) cur += line_len(seq, p);
+    }
+  }
+  if (cur > maxlen) maxlen = cur;
+  unmap(m);
+  *n_reads = count;
+  *max_len = maxlen;
+  return 0;
+}
+
+// Parse + encode one byte-range shard of a FASTA file (see fa_scan_range).
+int64_t fa_encode_range(const char* path, int64_t begin, int64_t end_off,
+                        int8_t* out, int64_t max_reads, int32_t read_len,
+                        int32_t min_len_keep) {
+  Mapped m = map_file(path);
+  if (!m.ok()) return -1;
+  const int64_t b = fa_resync(m.data, m.size, begin);
+  const int64_t e = fa_resync(m.data, m.size, end_off);
+  const char* p = m.data + b;
+  const char* stop = m.data + e;
+  const char* end = m.data + m.size;
+  int64_t r = 0;
+  int8_t* row = nullptr;
+  int64_t filled = -1;
+  while (p < end && r < max_reads) {
+    if (*p == '>') {
+      if (filled >= 0 && filled >= min_len_keep) {
+        if (filled < read_len) memset(row + filled, 4, read_len - filled);
+        ++r;
+      }
+      if (p >= stop || r >= max_reads) {
+        filled = -1;  // next shard's record (or out of rows)
+        break;
+      }
+      row = out + r * (int64_t)read_len;
+      filled = 0;
+      p = next_line(p, end);
+    } else {
+      const char* seq = p;
+      p = next_line(p, end);
+      int64_t len = line_len(seq, p);
+      if (filled < 0) continue;
+      for (int64_t i = 0; i < len && filled < read_len; ++i, ++filled)
+        row[filled] = kLut.v[(unsigned char)seq[i]];
+      if (filled >= read_len) filled = read_len;
     }
   }
   if (filled >= 0 && r < max_reads && filled >= min_len_keep) {

@@ -158,3 +158,32 @@ def test_cli_tour(fastq, capsys):
     assert m["chains"] >= 2  # one per strand at minimum
     walks = read_contigs(f"{d}/walks.fa")
     assert walks and all(len(w) >= 21 for w in walks)
+
+
+def test_cli_file_shard(fastq, capsys):
+    """--file-shard I/N parses only that byte-range slice; shard read counts
+    sum to the whole file and 0/1 equals the unsharded run (SURVEY.md D2)."""
+    path, reads, d = fastq
+    rc, full = run_cli(
+        ["assemble", path, "-k", "21", "-o", f"{d}/full.fa",
+         "--file-shard", "0/1", "--read-batch", "256"],
+        capsys,
+    )
+    assert rc == 0 and full["reads"] == len(reads)
+    n_shard = []
+    for s in range(3):
+        rc, m = run_cli(
+            ["assemble", path, "-k", "21", "-o", f"{d}/s{s}.fa",
+             "--file-shard", f"{s}/3", "--read-batch", "256"],
+            capsys,
+        )
+        assert rc == 0
+        n_shard.append(m["reads"])
+    assert sum(n_shard) == len(reads)
+    assert all(n > 0 for n in n_shard)
+
+
+def test_cli_file_shard_bad_spec(fastq, capsys):
+    path, _, d = fastq
+    assert main(["assemble", path, "--file-shard", "3/3"]) == 1
+    assert main(["assemble", path, "--file-shard", "nope"]) == 1

@@ -43,6 +43,13 @@ def _add_assemble(sub):
     )
     p.add_argument("--mesh", type=int, default=0, help="devices for distributed count (0=single)")
     p.add_argument(
+        "--file-shard",
+        default="",
+        help="I/N: parse only byte-range shard I of N of the input "
+        "(per-host data-parallel reads, SURVEY.md D2 — each host touches "
+        "~1/N of the file)",
+    )
+    p.add_argument(
         "--shard-traversal",
         action="store_true",
         help="keep graph+traversal sharded across the mesh (configs 4-5 scale)",
@@ -233,15 +240,36 @@ def _assemble_with_args(args, t0):
         )
         return result, time.perf_counter() - t0
 
-    # Fast path: native C++ parse+encode straight into the code matrix.
-    from tpu_euler.io.native import encode_file_native
+    file_shard = None
+    if args.file_shard:
+        try:
+            i, n = args.file_shard.split("/")
+            file_shard = (int(i), int(n))
+            assert 0 <= file_shard[0] < file_shard[1]
+        except (ValueError, AssertionError):
+            print(f"bad --file-shard {args.file_shard!r}: want I/N with 0<=I<N",
+                  file=sys.stderr)
+            return None, 0.0
 
-    codes = encode_file_native(
-        args.reads,
-        read_len=args.read_len,
-        min_qual=args.min_qual,
-        min_len_keep=args.k,
-    )
+    # Fast path: native C++ parse+encode straight into the code matrix.
+    from tpu_euler.io.native import encode_file_native, encode_file_shard_native
+
+    if file_shard is not None:
+        codes = encode_file_shard_native(
+            args.reads,
+            file_shard[0],
+            file_shard[1],
+            read_len=args.read_len,
+            min_qual=args.min_qual,
+            min_len_keep=args.k,
+        )
+    else:
+        codes = encode_file_native(
+            args.reads,
+            read_len=args.read_len,
+            min_qual=args.min_qual,
+            min_len_keep=args.k,
+        )
     if codes is not None:
         if codes.shape[0] == 0:
             print(f"no reads of length >= k={args.k} found", file=sys.stderr)
@@ -295,8 +323,19 @@ def _assemble_with_args(args, t0):
         recs = [
             (s, q) for _, s, q in read_fastq_with_qual(args.reads) if len(s) >= args.k
         ]
+        if file_shard is not None:  # byte-range parse has no qual variant yet;
+            # striding keeps quality masking correct on sharded gz inputs
+            recs = [r for j, r in enumerate(recs) if j % file_shard[1] == file_shard[0]]
         reads = [s for s, _ in recs]
         quals = [q for _, q in recs]
+    elif file_shard is not None:
+        from tpu_euler.io.fastx import read_shard
+
+        reads = [
+            seq
+            for _, seq in read_shard(args.reads, file_shard[0], file_shard[1])
+            if len(seq) >= args.k
+        ]
     else:
         reads = [seq for _, seq in read_fastx(args.reads) if len(seq) >= args.k]
     if not reads:

@@ -70,6 +70,37 @@ def _load():
                 ctypes.c_int32,
                 ctypes.c_int32,
             ]
+            lib.fq_scan_range.restype = ctypes.c_int
+            lib.fq_scan_range.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.fq_encode_range.restype = ctypes.c_int64
+            lib.fq_encode_range.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int8,
+                ctypes.c_int32,
+            ]
+            lib.fa_scan_range.restype = ctypes.c_int
+            lib.fa_scan_range.argtypes = lib.fq_scan_range.argtypes
+            lib.fa_encode_range.restype = ctypes.c_int64
+            lib.fa_encode_range.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_int32,
+            ]
             lib.pack_codes.restype = None
             lib.pack_codes.argtypes = [
                 ctypes.c_void_p,
@@ -122,6 +153,56 @@ def encode_file_native(
         )
     else:
         r = lib.fa_encode(path.encode(), out.ctypes.data, n.value, rl, min_len_keep)
+    if r < 0:
+        return None
+    return out[:r]
+
+
+def encode_file_shard_native(
+    path: str,
+    shard: int,
+    num_shards: int,
+    read_len: int = 0,
+    min_qual: int = 0,
+    min_len_keep: int = 1,
+) -> np.ndarray | None:
+    """Parse+encode shard i of n of a plain FASTA/FASTQ file (byte-range, D2).
+
+    Each host mmaps only its ~1/n byte slice (resynced to record boundaries in
+    native code), so per-host parse cost is O(file/n). Returns None when the
+    codec can't handle the input (gz, load failure) — caller falls back to the
+    Python byte-range parser (io.fastx.read_shard). Pass an explicit read_len
+    when shards must agree on row width (a shard's max read length is local).
+    """
+    lib = _load()
+    if lib is None or path.endswith(".gz"):
+        return None
+    is_fq = path.endswith((".fq", ".fastq"))
+    is_fa = path.endswith((".fa", ".fasta", ".fna"))
+    if not (is_fq or is_fa):
+        return None
+    size = os.path.getsize(path)
+    begin = size * shard // num_shards
+    end = size * (shard + 1) // num_shards
+    n = ctypes.c_int64()
+    mx = ctypes.c_int64()
+    scan = lib.fq_scan_range if is_fq else lib.fa_scan_range
+    if scan(path.encode(), begin, end, ctypes.byref(n), ctypes.byref(mx)) != 0:
+        return None
+    rl = read_len or int(mx.value)
+    if n.value == 0 or rl == 0:
+        return np.empty((0, max(rl, 1)), dtype=np.int8)
+    out = np.empty((n.value, rl), dtype=np.int8)
+    if is_fq:
+        r = lib.fq_encode_range(
+            path.encode(), begin, end, out.ctypes.data, n.value, rl,
+            min_qual, min_len_keep,
+        )
+    else:
+        r = lib.fa_encode_range(
+            path.encode(), begin, end, out.ctypes.data, n.value, rl,
+            min_len_keep,
+        )
     if r < 0:
         return None
     return out[:r]
