@@ -33,6 +33,7 @@ def worker(n_procs: int, pid: int, port: int) -> int:
 
     from tpu_euler.config import AssemblyConfig
     from tpu_euler.dist.pipeline import assemble_reads_distributed
+    from tpu_euler.io.fastx import read_shard
     from tpu_euler.reference_impl.oracle import assemble_oracle
     from tpu_euler.reference_impl.simulate import random_genome, simulate_reads
     from tpu_euler.verify.compare import canonical_contig_set
@@ -40,11 +41,23 @@ def worker(n_procs: int, pid: int, port: int) -> int:
     genome = random_genome(1500, seed=901)
     reads = simulate_reads(genome, read_len=80, coverage=15, seed=902, circular=True)
     cfg = AssemblyConfig(k=21, read_batch=32, read_len=80, spectrum_capacity=1 << 13)
-    result = assemble_reads_distributed(reads, cfg, shard_traversal=True)
+
+    # True D2: this process parses ONLY its byte-range shard of the shared
+    # FASTQ (O(file/n) per host) and feeds it process-locally into the mesh.
+    fq = os.environ["TPU_EULER_MP_FASTQ"]
+    my_reads = [s for _, s in read_shard(fq, pid, n_procs)]
+    assert 0 < len(my_reads) < len(reads), "shard should be a proper subset"
+    result = assemble_reads_distributed(
+        my_reads, cfg, shard_traversal=True, local_input=True
+    )
+    assert result.n_reads == len(reads), "allgathered read count != global"
     got = canonical_contig_set(result.contig_strings)
     expected = assemble_oracle(reads, 21)
     assert got == expected, f"proc {pid}: contig mismatch"
-    print(f"proc {pid}: OK ({len(got)} contigs over {len(jax.devices())} devices)")
+    print(
+        f"proc {pid}: OK ({len(got)} contigs over {len(jax.devices())} devices "
+        f"from a {len(my_reads)}/{len(reads)}-read file shard)"
+    )
     return 0
 
 
@@ -57,14 +70,27 @@ def main() -> int:
         )
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     import socket
+    import tempfile
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
+    # parent writes the shared FASTQ once; workers each parse only their
+    # byte-range shard of it
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tpu_euler.reference_impl.simulate import random_genome, simulate_reads
+
+    genome = random_genome(1500, seed=901)
+    reads = simulate_reads(genome, read_len=80, coverage=15, seed=902, circular=True)
+    fq = os.path.join(tempfile.mkdtemp(prefix="tpu_euler_mp_"), "reads.fq")
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["TPU_EULER_MP_NPROCS"] = str(n)
     env["TPU_EULER_MP_PORT"] = str(port)
+    env["TPU_EULER_MP_FASTQ"] = fq
     procs = []
     for pid in range(n):
         e = dict(env, TPU_EULER_MP_WORKER=str(pid))

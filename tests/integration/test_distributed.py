@@ -64,3 +64,20 @@ def test_dist_overflow_detection():
     cfg = AssemblyConfig(k=21, read_batch=128, read_len=100, spectrum_capacity=1 << 9)
     with pytest.raises(RuntimeError, match="overflow"):
         assemble_reads_distributed(reads, cfg, n_devices=8)
+
+
+def test_local_input_single_process_equivalent():
+    """local_input=True (process-local feeding, SPEC D2) produces identical
+    results to global-input mode in a single process."""
+    from tpu_euler.config import AssemblyConfig
+    from tpu_euler.dist.pipeline import assemble_reads_distributed
+    from tpu_euler.reference_impl.simulate import random_genome, simulate_reads
+
+    genome = random_genome(1200, seed=871)
+    reads = simulate_reads(genome, read_len=80, coverage=15, seed=872, circular=True)
+    cfg = AssemblyConfig(k=21, read_batch=32, read_len=80, spectrum_capacity=1 << 13)
+    a = assemble_reads_distributed(reads, cfg, n_devices=4, local_input=True)
+    b = assemble_reads_distributed(reads, cfg, n_devices=4, local_input=False)
+    assert a.contigs == b.contigs
+    assert a.n_reads == b.n_reads == len(reads)
+    assert a.n_kmers_counted == b.n_kmers_counted

@@ -42,6 +42,7 @@ def assemble_reads_distributed(
     shard_traversal: bool = False,
     codes=None,
     slab_factors: tuple = (2.0, 4.0, 8.0),
+    local_input: bool = False,
 ) -> AssemblyResult:
     """Data-parallel assembly over a 1-D device mesh.
 
@@ -50,6 +51,13 @@ def assemble_reads_distributed(
     collective pointer jumping — see dist/traverse_dist.py); False gathers the
     post-cutoff spectrum and traverses replicated (cheapest at bacterial
     scale). Contig sets are identical either way.
+
+    local_input=True: ``reads``/``codes`` hold only THIS PROCESS's records
+    (e.g. its byte-range file shard, io.fastx.read_shard — SPEC D2). Each
+    process feeds its local rows into the global batch via
+    jax.make_array_from_process_local_data; processes agree on the step count
+    through an allgather of local totals. With a single process this is
+    equivalent to the default global-input mode.
     """
     mesh = make_mesh(n_devices)
     n_dev = mesh.devices.size
@@ -75,19 +83,47 @@ def assemble_reads_distributed(
     # per-batch D2H sync serializes the dispatch pipeline
     step_rows = rows * n_dev
     total = len(reads) if reads is not None else codes.shape[0]
-    for i in range(0, max(total, 1), step_rows):
+    if local_input:
+        # this process owns `total` records and feeds rows for its local
+        # devices only; all processes must run the SAME number of steps
+        n_local_dev = sum(
+            1 for d in mesh.devices.flat if d.process_index == jax.process_index()
+        )
+        my_rows = rows * n_local_dev
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            totals = multihost_utils.process_allgather(np.array([total]))
+            n_steps = max(1, int(-(-int(totals.max()) // my_rows)))
+            n_reads_global = int(totals.sum())
+        else:
+            n_steps = max(1, -(-total // my_rows))
+            n_reads_global = total
+    else:
+        my_rows = step_rows
+        n_steps = max(1, -(-total // step_rows))
+        n_reads_global = total
+    for s in range(n_steps):
+        i = s * my_rows
         t0 = time.perf_counter()
         if reads is not None:
-            batch = reads[i : i + step_rows]
+            batch = reads[i : i + my_rows]
             n_reads += len(batch)
-            cbatch = encode_reads(batch, cfg.read_len)
+            cbatch = encode_reads(batch, cfg.read_len) if batch else np.empty(
+                (0, cfg.read_len), np.int8
+            )
         else:
-            cbatch = codes[i : i + step_rows]
+            cbatch = codes[i : i + my_rows]
             n_reads += cbatch.shape[0]
-        if cbatch.shape[0] < step_rows:
-            pad = np.full((step_rows - cbatch.shape[0], cfg.read_len), 4, np.int8)
-            cbatch = np.concatenate([cbatch, pad], axis=0)
-        cbatch = jax.device_put(cbatch, sharding)
+        if cbatch.shape[0] < my_rows:
+            pad = np.full((my_rows - cbatch.shape[0], cfg.read_len), 4, np.int8)
+            cbatch = np.concatenate([cbatch, pad], axis=0) if cbatch.size else pad
+        if local_input:
+            cbatch = jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(cbatch), (step_rows, cfg.read_len)
+            )
+        else:
+            cbatch = jax.device_put(cbatch, sharding)
         t1 = time.perf_counter()
         acc, nw = count_step(cbatch, acc)
         n_windows_parts.append(nw)
@@ -95,6 +131,8 @@ def assemble_reads_distributed(
         t["count"] += time.perf_counter() - t1
 
     jax.block_until_ready(acc)
+    if local_input:
+        n_reads = n_reads_global
     n_windows = sum(int(fetch_global(nw)[0]) for nw in n_windows_parts)
     dropped = int(fetch_global(acc.dropped).sum())
     if dropped:

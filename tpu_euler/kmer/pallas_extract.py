@@ -128,7 +128,7 @@ def _extract_kernel(k: int, W: int, L: int, rolled: bool):
 
 
 def extract_canonical_auto(
-    codes: jax.Array, k: int, block_reads: int = 256
+    codes: jax.Array, k: int, block_reads: int = 512
 ) -> tuple[jax.Array, jax.Array]:
     """Pallas extraction on TPU backends, XLA path elsewhere (the fallback the
     module contract promises: interpret-mode Pallas is far slower than the XLA
@@ -142,7 +142,7 @@ def extract_canonical_auto(
 
 @functools.partial(jax.jit, static_argnames=("k", "block_reads", "interpret"))
 def extract_canonical_pallas(
-    codes: jax.Array, k: int, block_reads: int = 256, interpret: bool = False
+    codes: jax.Array, k: int, block_reads: int = 512, interpret: bool = False
 ) -> tuple[jax.Array, jax.Array]:
     """Pallas extraction; same contract as kmer.extract.extract_canonical_kmers."""
     R, Lmax = codes.shape
