@@ -187,3 +187,35 @@ def test_cli_file_shard_bad_spec(fastq, capsys):
     path, _, d = fastq
     assert main(["assemble", path, "--file-shard", "3/3"]) == 1
     assert main(["assemble", path, "--file-shard", "nope"]) == 1
+    # invalid spec must fail even when a resume branch would return early,
+    # and combining --file-shard with resume flags is an error outright
+    assert main(["assemble", path, "--file-shard", "nope",
+                 "--resume-spectrum", f"{d}/none.npz"]) == 1
+    assert main(["assemble", path, "--file-shard", "0/2",
+                 "--resume-spectrum", f"{d}/none.npz"]) == 1
+
+
+def test_cli_file_shard_min_qual_byte_range(fastq, capsys):
+    """--min-qual + --file-shard still partitions the file exactly (the
+    qual-aware Python fallback byte-range-shards like the native codec)."""
+    path, reads, d = fastq
+    import tpu_euler.io.native as native_mod
+
+    orig = native_mod.encode_file_shard_native
+    try:
+        # force the Python fallback so the qual-aware span parser is the path
+        native_mod.encode_file_shard_native = lambda *a, **k: None
+        import tpu_euler.cli as cli_mod
+        n_shard = []
+        for s in range(2):
+            rc, m = run_cli(
+                ["assemble", path, "-k", "21", "-o", f"{d}/q{s}.fa",
+                 "--file-shard", f"{s}/2", "--min-qual", "2",
+                 "--read-batch", "256"],
+                capsys,
+            )
+            assert rc == 0
+            n_shard.append(m["reads"])
+        assert sum(n_shard) == len(reads) and all(n > 0 for n in n_shard)
+    finally:
+        native_mod.encode_file_shard_native = orig

@@ -88,6 +88,47 @@ def test_gz_falls_back_to_striding(tmp_path, reads):
     assert sorted(sum(parts, [])) == sorted(read_fastx(path))
 
 
+@pytest.mark.parametrize("n_shards", [1, 3])
+def test_qual_shards_partition_records(tmp_path, reads, n_shards):
+    """read_shard_with_qual shards by the SAME byte ranges as read_shard and
+    keeps (seq, qual) pairs intact — --min-qual multi-host runs depend on
+    every host resolving to identical ownership."""
+    from tpu_euler.io.fastx import read_fastq_with_qual, read_shard_with_qual
+
+    path = tmp_path / "r.fq"
+    _write_fq(path, reads)
+    whole = list(read_fastq_with_qual(path))
+    parts = [
+        list(read_shard_with_qual(path, s, n_shards)) for s in range(n_shards)
+    ]
+    assert sum(parts, []) == whole
+    # ownership identical to the qual-less byte-range parser
+    for s in range(n_shards):
+        assert [(name, seq) for name, seq, _ in parts[s]] == list(
+            read_shard(path, s, n_shards)
+        )
+
+
+def test_crlf_fastq_shard_strips_cr(tmp_path):
+    """CRLF FASTQ: sharded parses must strip \\r exactly like read_fastq, or
+    sharded and unsharded runs count different k-mers."""
+    from tpu_euler.io.fastx import read_fastq_with_qual, read_shard_with_qual
+
+    reads_ = ["ACGTACGTACGT", "TTGGCCAATTGG", "GGGGCCCCAAAA"]
+    path = tmp_path / "crlf.fq"
+    with open(path, "wb") as f:
+        for i, r in enumerate(reads_):
+            f.write(f"@r{i}\r\n{r}\r\n+\r\n{'I' * len(r)}\r\n".encode())
+    whole = list(read_fastx(path))
+    assert [s for _, s in whole] == reads_
+    parts = [list(read_shard(path, s, 2)) for s in range(2)]
+    assert sum(parts, []) == whole
+    qparts = [list(read_shard_with_qual(path, s, 2)) for s in range(2)]
+    assert [s for _, s, _ in sum(qparts, [])] == reads_
+    assert all(q == "I" * len(s) for _, s, q in sum(qparts, []))
+    assert sum(qparts, []) == list(read_fastq_with_qual(path))
+
+
 @pytest.mark.skipif(not native_available(), reason="native codec not built")
 @pytest.mark.parametrize("ext", ["fq", "fa"])
 @pytest.mark.parametrize("n_shards", [1, 2, 4])

@@ -193,6 +193,25 @@ def _assemble_with_args(args, t0):
     )
     from tpu_euler.pipeline.checkpoint import load_spectrum, save_spectrum
 
+    # Parse/validate --file-shard FIRST: an invalid spec must exit 1 even when
+    # a checkpoint branch would otherwise return early, and combining the two
+    # is an error (the checkpoint already fixes which reads were counted).
+    file_shard = None
+    if args.file_shard:
+        try:
+            i, n = args.file_shard.split("/")
+            file_shard = (int(i), int(n))
+            assert 0 <= file_shard[0] < file_shard[1]
+        except (ValueError, AssertionError):
+            print(f"bad --file-shard {args.file_shard!r}: want I/N with 0<=I<N",
+                  file=sys.stderr)
+            return None, 0.0
+        if args.resume_spectrum or args.resume_graph:
+            print("--file-shard cannot be combined with --resume-spectrum/"
+                  "--resume-graph (the checkpoint already fixes the input)",
+                  file=sys.stderr)
+            return None, 0.0
+
     if args.resume_graph:
         from tpu_euler.euler.extract import chains_to_contigs_device
         from tpu_euler.pipeline.checkpoint import load_graph
@@ -239,17 +258,6 @@ def _assemble_with_args(args, t0):
             stage_seconds=t,
         )
         return result, time.perf_counter() - t0
-
-    file_shard = None
-    if args.file_shard:
-        try:
-            i, n = args.file_shard.split("/")
-            file_shard = (int(i), int(n))
-            assert 0 <= file_shard[0] < file_shard[1]
-        except (ValueError, AssertionError):
-            print(f"bad --file-shard {args.file_shard!r}: want I/N with 0<=I<N",
-                  file=sys.stderr)
-            return None, 0.0
 
     # Fast path: native C++ parse+encode straight into the code matrix.
     from tpu_euler.io.native import encode_file_native, encode_file_shard_native
@@ -318,14 +326,16 @@ def _assemble_with_args(args, t0):
     quals = None
     stem = args.reads[:-3] if args.reads.endswith(".gz") else args.reads
     if args.min_qual > 0 and stem.endswith((".fq", ".fastq")):
-        from tpu_euler.io.fastx import read_fastq_with_qual
+        from tpu_euler.io.fastx import read_fastq_with_qual, read_shard_with_qual
 
-        recs = [
-            (s, q) for _, s, q in read_fastq_with_qual(args.reads) if len(s) >= args.k
-        ]
-        if file_shard is not None:  # byte-range parse has no qual variant yet;
-            # striding keeps quality masking correct on sharded gz inputs
-            recs = [r for j, r in enumerate(recs) if j % file_shard[1] == file_shard[0]]
+        if file_shard is not None:
+            # Byte-range sharding (striding only for .gz, decided by file type
+            # alone) — the SAME strategy as the native codec, so mixed
+            # native/Python hosts still partition the file exactly.
+            rec_iter = read_shard_with_qual(args.reads, *file_shard)
+        else:
+            rec_iter = read_fastq_with_qual(args.reads)
+        recs = [(s, q) for _, s, q in rec_iter if len(s) >= args.k]
         reads = [s for s, _ in recs]
         quals = [q for _, q in recs]
     elif file_shard is not None:

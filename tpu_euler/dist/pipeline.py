@@ -93,9 +93,16 @@ def assemble_reads_distributed(
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            totals = multihost_utils.process_allgather(np.array([total]))
-            n_steps = max(1, int(-(-int(totals.max()) // my_rows)))
-            n_reads_global = int(totals.sum())
+            # Allgather (total, my_rows) PAIRS: with uneven device placement
+            # my_rows differs per process, and every process must agree on
+            # max_p ceil(total_p / my_rows_p) or the collective step counts
+            # desync (a silent multi-host hang, not an error).
+            tm = multihost_utils.process_allgather(np.array([total, my_rows]))
+            tm = tm.reshape(-1, 2)
+            n_steps = max(
+                1, int(max(-(-int(tp) // int(mp)) for tp, mp in tm))
+            )
+            n_reads_global = int(tm[:, 0].sum())
         else:
             n_steps = max(1, -(-total // my_rows))
             n_reads_global = total

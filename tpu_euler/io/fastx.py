@@ -174,7 +174,60 @@ def _parse_fq_span(mm, size: int, begin: int, stop: int):
         _, pos = _readline_span(mm, size, pos)
         _, pos = _readline_span(mm, size, pos)
         name = hdr[1:].split()[0].decode() if len(hdr) > 1 else ""
-        yield name, seq.decode().upper()
+        # strip() matches read_fastq: CRLF files must not keep a trailing \r
+        # (it would encode as N and desync sharded vs unsharded k-mer counts)
+        yield name, seq.decode().strip().upper()
+
+
+def _parse_fq_span_qual(mm, size: int, begin: int, stop: int):
+    """FASTQ records STARTING in [begin, stop), with quality strings.
+
+    The qual-aware twin of _parse_fq_span, so --min-qual runs can use
+    byte-range sharding too: every host must resolve to the SAME sharding
+    strategy or the per-host shards no longer partition the file.
+    """
+    pos = begin
+    while pos < stop:
+        if mm[pos : pos + 1] != b"@":
+            return
+        hdr, pos = _readline_span(mm, size, pos)
+        seq, pos = _readline_span(mm, size, pos)
+        _, pos = _readline_span(mm, size, pos)
+        qual, pos = _readline_span(mm, size, pos)
+        name = hdr[1:].split()[0].decode() if len(hdr) > 1 else ""
+        yield name, seq.decode().strip().upper(), qual.decode().strip()
+
+
+def read_shard_with_qual(
+    path: str | Path, shard: int, num_shards: int
+) -> Iterator[tuple[str, str, str]]:
+    """FASTQ shard i of n with quality strings (SPEC D2 + --min-qual).
+
+    Plain files are sharded by byte range (O(file/n) parse per host, resynced
+    record boundaries, same ownership rule as read_shard / the native codec);
+    gzip falls back to record striding — deterministically, by file type only,
+    never by which codec happens to be available on a host.
+    """
+    p = str(path)
+    if p.endswith(".gz"):
+        for i, rec in enumerate(read_fastq_with_qual(p)):
+            if i % num_shards == shard:
+                yield rec
+        return
+    import mmap
+    import os
+
+    size = os.path.getsize(p)
+    if size == 0:
+        return
+    begin, end = shard_byte_range(size, shard, num_shards)
+    with open(p, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            b, e = _fq_resync(mm, size, begin), _fq_resync(mm, size, end)
+            yield from _parse_fq_span_qual(mm, size, b, e)
+        finally:
+            mm.close()
 
 
 def _parse_fa_span(mm, size: int, begin: int, stop: int):
