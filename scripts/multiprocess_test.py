@@ -47,10 +47,32 @@ def worker(n_procs: int, pid: int, port: int) -> int:
     fq = os.environ["TPU_EULER_MP_FASTQ"]
     my_reads = [s for _, s in read_shard(fq, pid, n_procs)]
     assert 0 < len(my_reads) < len(reads), "shard should be a proper subset"
+
+    # Spy on fragment emission: per-process D2H must stay O(E/n_procs) —
+    # the old path allgathered the FULL edge arrays to every host.
+    import tpu_euler.dist.traverse_dist as td
+
+    captured = {}
+    orig_lcf = td.local_chain_fragments
+
+    def spy(sc, k):
+        f = orig_lcf(sc, k)
+        captured["d2h"] = f["d2h_bytes"]
+        captured["rows_global"] = int(sc.valid.shape[0])
+        captured["nlimbs"] = int(sc.edge_limbs.shape[1])
+        return f
+
+    td.local_chain_fragments = spy
     result = assemble_reads_distributed(
         my_reads, cfg, shard_traversal=True, local_input=True
     )
     assert result.n_reads == len(reads), "allgathered read count != global"
+    # valid(1) + is_start(1) + chain(4) + pos(4) + limbs(4L) bytes per row
+    bytes_global = captured["rows_global"] * (10 + 4 * captured["nlimbs"])
+    assert captured["d2h"] <= bytes_global // n_procs + 4096, (
+        f"proc {pid} fetched {captured['d2h']} B from device; "
+        f"O(E/n) bound is {bytes_global // n_procs} B"
+    )
     got = canonical_contig_set(result.contig_strings)
     expected = assemble_oracle(reads, 21)
     assert got == expected, f"proc {pid}: contig mismatch"

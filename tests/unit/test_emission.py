@@ -66,6 +66,41 @@ def test_all_forward_smaller():
     assert canonicalize_contig_buffer(buf, off) == {b"AAAC", b"AACC"}
 
 
+def test_device_emission_capacity_retry(caplog):
+    """> E/16 chains (default chain_capacity) must NOT silently fall back to
+    the O(E) host path: the device path retries with exact capacities, logs
+    the event, and still matches the host emission bit-for-bit."""
+    import logging
+
+    from tpu_euler.config import AssemblyConfig
+    from tpu_euler.euler import extract
+    from tpu_euler.euler.unitigs import unitig_chains
+    from tpu_euler.graph.build import build_graph
+    from tpu_euler.kmer.count import apply_cutoff
+    from tpu_euler.pipeline.assemble import count_spectrum
+
+    # ~1.5k disconnected random 21-mers -> every edge is its own chain, so
+    # n_chains = E = 2 * distinct > max(1024, E >> 4)
+    rng = np.random.default_rng(11)
+    reads = [
+        "".join("ACGT"[b] for b in rng.integers(0, 4, size=21))
+        for _ in range(1500)
+    ]
+    cfg = AssemblyConfig(k=21, read_len=21, spectrum_capacity=1 << 14)
+    acc, _ = count_spectrum(
+        np.array([[("ACGT".index(c)) for c in r] for r in reads], np.int8), cfg
+    )
+    g = build_graph(apply_cutoff(acc, 1), 21)
+    chains = unitig_chains(g, 21)
+    host = extract.chains_to_contigs(g, chains, 21)
+    before = extract.HOST_FALLBACKS
+    with caplog.at_level(logging.WARNING, logger="tpu_euler"):
+        dev = extract.chains_to_contigs_device(g, chains, 21)
+    assert dev == host
+    assert extract.HOST_FALLBACKS == before  # retried on device, no host path
+    assert any("capacity exceeded" in r.message for r in caplog.records)
+
+
 def test_hundred_thousand_fragments_fast():
     rng = np.random.default_rng(7)
     n = 120_000

@@ -353,27 +353,157 @@ def make_dist_cutoff_step(min_count: int, mesh: Mesh):
     )
 
 
-def shard_chains_to_contigs(sc: ShardChains, k: int) -> set[bytes]:
-    """Host assembly of sharded chain fragments into canonical contigs.
+def local_chain_fragments(sc: ShardChains, k: int) -> dict:
+    """Per-PROCESS contig fragments from ONLY this process's shards.
 
-    Each host only downloads its own shards in a true multi-host run
-    (O(E/n_hosts)); here the addressable arrays cover all shards.
+    D2H is restricted to addressable shards — O(E/n_proc) per host, never the
+    global edge arrays. The output is compact per-edge material (9 B/edge:
+    chain id, position, one base byte) plus the (k-1)-base prefixes of locally
+    held chain-START edges — everything any assembler of the full contigs
+    needs from this process. ``d2h_bytes`` records exactly how many device
+    bytes this process pulled (asserted O(E/n) in multiprocess_test.py).
+
+    Returns dict(chain, pos, base, start_chain, start_prefix, d2h_bytes).
     """
     import numpy as np
 
-    from tpu_euler.dist.mesh import fetch_global
-    from tpu_euler.euler.extract import assemble_contig_bytes
+    d2h = 0
 
-    valid = fetch_global(sc.valid)
+    def local_np(a):
+        nonlocal d2h
+        shards = sorted(
+            a.addressable_shards, key=lambda s: (s.index[0].start or 0)
+        )
+        parts = [np.asarray(s.data) for s in shards]
+        d2h += sum(p.nbytes for p in parts)
+        return np.concatenate(parts, axis=0)
+
+    valid = local_np(sc.valid)
     idx = np.flatnonzero(valid)
-    if idx.size == 0:
-        return set()
-    return assemble_contig_bytes(
-        fetch_global(sc.chain)[idx],
-        fetch_global(sc.pos)[idx],
-        fetch_global(sc.edge_limbs)[idx],
-        k,
+    chain = local_np(sc.chain)[idx]
+    pos = local_np(sc.pos)[idx]
+    is_start = local_np(sc.is_start)[idx]
+    limbs = local_np(sc.edge_limbs)[idx]
+    base = (limbs[:, -1] & 3).astype(np.uint8)
+    starts = np.flatnonzero(is_start)
+    from tpu_euler.euler.extract import decode_bases_np
+
+    start_prefix = (
+        decode_bases_np(limbs[starts], k - 1, k)
+        if starts.size
+        else np.zeros((0, k - 1), np.uint8)
     )
+    return dict(
+        chain=chain.astype(np.int64),
+        pos=pos.astype(np.int64),
+        base=base,
+        start_chain=chain[starts].astype(np.int64),
+        start_prefix=start_prefix,
+        d2h_bytes=d2h,
+    )
+
+
+def assemble_contig_fragments(frags: list[dict], k: int) -> set[bytes]:
+    """Merge per-process fragment dicts into the canonical contig set.
+
+    Pure host numpy; input volume is ~9 B/edge + prefixes, i.e. the contig
+    bytes themselves plus O(#chains * k) — not the O(24+ B/edge) device
+    arrays the old allgather pulled to every host.
+    """
+    import numpy as np
+
+    from tpu_euler.euler.extract import _BASES, canonicalize_contig_buffer
+
+    chain = np.concatenate([f["chain"] for f in frags])
+    if chain.size == 0:
+        return set()
+    pos = np.concatenate([f["pos"] for f in frags])
+    base = np.concatenate([f["base"] for f in frags])
+    start_chain = np.concatenate([f["start_chain"] for f in frags])
+    start_prefix = np.concatenate([f["start_prefix"] for f in frags], axis=0)
+
+    uchain, dense = np.unique(chain, return_inverse=True)
+    n_chains = uchain.size
+    chain_len = np.zeros(n_chains, dtype=np.int64)
+    np.maximum.at(chain_len, dense, pos + 1)
+    out_len = chain_len + (k - 1)
+    off = np.zeros(n_chains + 1, dtype=np.int64)
+    np.cumsum(out_len, out=off[1:])
+    buf = np.empty(off[-1], dtype=np.uint8)
+    buf[off[dense] + (k - 1) + pos] = _BASES[base]
+    sdense = np.searchsorted(uchain, start_chain)
+    buf[off[sdense][:, None] + np.arange(k - 1)[None, :]] = start_prefix
+    return canonicalize_contig_buffer(buf, off)
+
+
+def shard_chains_to_contigs(sc: ShardChains, k: int) -> set[bytes]:
+    """Host assembly of sharded chains into canonical contigs, O(E/n) D2H.
+
+    Each process downloads ONLY its addressable shards and reduces them to
+    compact fragments (local_chain_fragments). Multi-process runs exchange
+    just those fragments (padded process_allgather of ~9 B/edge material, an
+    order of magnitude below the former full-edge-array allgather) so every
+    process can return the full canonical set; single-process runs skip the
+    exchange entirely. Per-host part emission (no exchange at all) is
+    available via local_chain_fragments directly.
+    """
+    import jax
+
+    frag = local_chain_fragments(sc, k)
+    if jax.process_count() > 1:
+        frags = _allgather_fragments(frag, k)
+    else:
+        frags = [frag]
+    return assemble_contig_fragments(frags, k)
+
+
+def _allgather_fragments(frag: dict, k: int) -> list[dict]:
+    """Exchange compact per-process fragments (ragged -> padded allgather)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    sizes = multihost_utils.process_allgather(
+        np.array([frag["chain"].size, frag["start_chain"].size], np.int64)
+    ).reshape(-1, 2)
+    me, ms = int(sizes[:, 0].max()), int(sizes[:, 1].max())
+
+    def pad(a, m, fill):
+        out = np.full((m,) + a.shape[1:], fill, a.dtype)
+        out[: a.shape[0]] = a
+        return out
+
+    packed = np.concatenate(
+        [
+            pad(frag["chain"], me, -1)[:, None],
+            pad(frag["pos"], me, 0)[:, None],
+            pad(frag["base"], me, 0).astype(np.int64)[:, None],
+        ],
+        axis=1,
+    )
+    sp = np.concatenate(
+        [
+            pad(frag["start_chain"], ms, -1)[:, None],
+            pad(frag["start_prefix"], ms, 0).astype(np.int64),
+        ],
+        axis=1,
+    )
+    all_packed = multihost_utils.process_allgather(packed)
+    all_sp = multihost_utils.process_allgather(sp)
+    frags = []
+    for p in range(all_packed.shape[0]):
+        n = int(sizes[p, 0])
+        s = int(sizes[p, 1])
+        frags.append(
+            dict(
+                chain=all_packed[p, :n, 0],
+                pos=all_packed[p, :n, 1],
+                base=all_packed[p, :n, 2].astype(np.uint8),
+                start_chain=all_sp[p, :s, 0],
+                start_prefix=all_sp[p, :s, 1:].astype(np.uint8),
+                d2h_bytes=0,
+            )
+        )
+    return frags
 
 
 def make_dist_tip_step(

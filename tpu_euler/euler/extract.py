@@ -19,6 +19,7 @@ and dedup happen on host bytes in both paths; results are identical.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import NamedTuple
 
 import jax
@@ -27,6 +28,12 @@ import numpy as np
 
 from tpu_euler.euler.unitigs import UnitigChains
 from tpu_euler.graph.build import DeBruijnGraph
+
+log = logging.getLogger("tpu_euler")
+
+#: incremented whenever the device emission overflowed its capacity and fell
+#: back to the O(E)-D2H host path (read by the CLI metrics; reset at will)
+HOST_FALLBACKS = 0
 
 _BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
 _RC_TABLE = np.zeros(256, dtype=np.uint8)
@@ -183,7 +190,26 @@ def chains_to_contigs_device(
     n_chains = int(em.n_chains)
     total = int(em.total)
     if n_chains > chain_capacity or total > out_capacity:
-        return chains_to_contigs(g, chains, k)  # rare: tiny-fragment blowup
+        # Fragmented assembly (> E/16 unitigs by default): retry the device
+        # path once with exact-need capacities before conceding to the O(E)
+        # D2H host path; either way, say so (a silent fallback on the hot
+        # path hides an O(E) transfer regression).
+        global HOST_FALLBACKS
+        if n_chains <= (chain_capacity << 4):  # one retry is enough
+            log.warning(
+                "device emission capacity exceeded (%d chains > %d or %d "
+                "bytes > %d); retrying device path with exact capacities",
+                n_chains, chain_capacity, total, out_capacity,
+            )
+            g2 = max(1 << 14, 1 << (max(n_chains - 1, 1)).bit_length())
+            g3 = max(1 << 20, 1 << (max(total - 1, 1)).bit_length())
+            return chains_to_contigs_device(g, chains, k, g3, g2)
+        HOST_FALLBACKS += 1
+        log.warning(
+            "device emission fell back to the host O(E) path "
+            "(%d chains, %d bytes)", n_chains, total,
+        )
+        return chains_to_contigs(g, chains, k)  # pathological fragment blowup
     if n_chains == 0:
         return set()
 

@@ -72,36 +72,128 @@ def assign_node_ids(
 ):
     """Assign dense node ids to the distinct endpoint (k-1)-mers of all edges.
 
-    Returns (tail [E], head [E], n_nodes [], outdeg [2E], indeg [2E]). Node
-    ids are ranks in the sorted order of distinct endpoint keys, so they are
-    deterministic and strand-pair-consistent regardless of edge order. Degrees
-    fall out of the same endpoint sort (prefix endpoints are out-edges, suffix
-    endpoints in-edges) via cumsum-diff segment counting — no separate
-    segment_sum passes.
+    Returns (tail [E], head [E], n_nodes [], outdeg [2E], indeg [2E]).
+
+    The doubled graph's endpoint multiset is closed under reverse complement
+    (every edge's RC is also an edge), so the distinct RAW endpoints are
+    exactly {distinct canonical (k-1)-mers} x {strands} (palindromes once).
+    Sorting only the 2C canonical endpoints of the FORWARD half (prefix +
+    suffix per spectrum k-mer) therefore determines every id — HALF the rows
+    of the naive all-raw-endpoints sort, the graph stage's dominant op.
+
+    Node id = base(c) + strand, where base(c) = 2*rank(c) - #palindromic
+    canonical keys before c (so ids stay dense), rank(c) = rank among sorted
+    distinct canonical endpoint keys, and strand(m) = [m != canonical(m)]
+    (palindromes collapse both strands onto base). Ids are deterministic and
+    strand-pair-consistent; only id VALUES differ from the raw-rank scheme —
+    a bijection of endpoints, so successor pairing, degrees and contigs are
+    unchanged. Degrees fall out of the same sort via cumsum-diff segment
+    counting: per canonical segment, out-strand counts (s0, s1) give
+    outdeg=(s0, s1) and — since in-strand = 1 - out-strand off palindromes —
+    indeg=(s1, s0) swapped; 2 segment sums total.
     """
     from tpu_euler.kmer.count import segment_sums_sorted
 
     E = edge_limbs.shape[0]
-    pre = keys.prefix(edge_limbs, k)
-    suf = keys.suffix(edge_limbs, k)
-    endpoints = jnp.concatenate([pre, suf], axis=0)  # [2E, L]
-    valid = jnp.concatenate([edge_valid, edge_valid])
-    pos = jnp.arange(2 * E, dtype=jnp.int32)
-    sl, sv, spos = keys.sort_by_key(endpoints, valid, pos)
+    C = E // 2
+    fwd = edge_limbs[:C]  # rows [C:] are revcomp(fwd) by doubled_edges layout
+    valid = edge_valid[:C]
+    pre = keys.prefix(fwd, k)
+    suf = keys.suffix(fwd, k)
+
+    def canon3(m):
+        rc = keys.revcomp(m, k - 1)
+        rc_smaller = keys.key_less(rc, m, k - 1)
+        pal = keys.key_eq(m, rc)
+        return jnp.where(rc_smaller[..., None], rc, m), rc_smaller, pal
+
+    cpre, s_pre, pal_pre = canon3(pre)
+    csuf, s_suf, pal_suf = canon3(suf)
+
+    endpoints = jnp.concatenate([cpre, csuf], axis=0)  # [2C, L]
+    valid2 = jnp.concatenate([valid, valid])
+    pal2 = jnp.concatenate([pal_pre, pal_suf])
+    # out-strand of each occurrence: pre rows are fwd-edge tails (strand s);
+    # suf rows are rev-edge tails through rc (strand 1-s). Pal rows fold to 0.
+    s_out2 = jnp.concatenate([s_pre, ~s_suf]) & ~pal2
+    pos2 = jnp.arange(2 * C, dtype=jnp.uint32)
+    payload = pos2 | (s_out2.astype(jnp.uint32) << 30) | (
+        pal2.astype(jnp.uint32) << 31
+    )
+    sl, sv, spay = keys.sort_by_key(endpoints, valid2, payload)
     prev = jnp.roll(sl, 1, axis=0)
     is_new = (~keys.key_eq(sl, prev)).at[0].set(True) & sv
-    node_id = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    n_nodes = jnp.sum(is_new.astype(jnp.int32))
-    # scatter node id back to original endpoint position
-    ids = jnp.zeros((2 * E,), jnp.int32).at[spos].set(
-        jnp.where(sv, node_id, 2 * E - 1)
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    n_canon = jnp.sum(is_new.astype(jnp.int32))
+    pal_s = spay >> 31 != 0
+    s_out_s = (spay >> 30) & 1
+    pos_s = (spay & jnp.uint32((1 << 30) - 1)).astype(jnp.int32)
+    # dense base id: 2*rank minus # palindromic distinct ranks BEFORE this
+    # one (pal_s is segment-constant, so the per-row correction term makes
+    # the inclusive cumsum exclusive for every row of a palindromic segment)
+    pal_seg = jnp.cumsum((is_new & pal_s).astype(jnp.int32)) - jnp.where(
+        pal_s, 1, 0
     )
-    # degrees: prefix endpoints (spos < E) are out-edges, suffixes in-edges
-    w_out = jnp.where(sv & (spos < E), 1, 0).astype(jnp.int32)
-    w_in = jnp.where(sv & (spos >= E), 1, 0).astype(jnp.int32)
-    outdeg = segment_sums_sorted(is_new, node_id, w_out, 2 * E)
-    indeg = segment_sums_sorted(is_new, node_id, w_in, 2 * E)
-    return ids[:E], ids[E:], n_nodes, outdeg, indeg
+    base = 2 * rank - pal_seg
+    n_pal = jnp.sum((is_new & pal_s).astype(jnp.int32))
+    n_nodes = 2 * n_canon - n_pal
+
+    # scatter (base<<1 | pal) back to original endpoint rows
+    dest = jnp.where(sv, pos_s, 2 * C)
+    packed = (base.astype(jnp.uint32) << 1) | pal_s.astype(jnp.uint32)
+    back = jnp.zeros((2 * C,), jnp.uint32).at[dest].set(packed, mode="drop")
+    base_pre = (back[:C] >> 1).astype(jnp.int32)
+    palp = (back[:C] & 1).astype(jnp.bool_)
+    base_suf = (back[C:] >> 1).astype(jnp.int32)
+    pals = (back[C:] & 1).astype(jnp.bool_)
+
+    sp = s_pre & ~palp  # strand of raw pre (pal -> 0)
+    ss = s_suf & ~pals
+    tail_fwd = base_pre + sp.astype(jnp.int32)
+    head_fwd = base_suf + ss.astype(jnp.int32)
+    tail_rev = base_suf + (~ss & ~pals).astype(jnp.int32)
+    head_rev = base_pre + (~sp & ~palp).astype(jnp.int32)
+    tail = jnp.concatenate([tail_fwd, tail_rev])
+    head = jnp.concatenate([head_fwd, head_rev])
+
+    # degrees: per-segment out-strand counts; indeg is the strand-swapped twin
+    w0 = jnp.where(sv & (s_out_s == 0), 1, 0).astype(jnp.int32)
+    w1 = jnp.where(sv & (s_out_s == 1), 1, 0).astype(jnp.int32)
+    out0 = segment_sums_sorted(is_new, rank, w0, 2 * C)  # [2C] per-rank
+    out1 = segment_sums_sorted(is_new, rank, w1, 2 * C)
+    ridx = jnp.arange(2 * C, dtype=jnp.int32)
+    rvalid = ridx < n_canon
+    rbase = 2 * ridx - jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(
+            jnp.zeros((2 * C,), jnp.int32)  # placeholder; replaced below
+        )[:-1]]
+    )
+    # per-rank pal flag + base, gathered from segment starts via scatter
+    pal_rank = (
+        jnp.zeros((2 * C,), jnp.bool_)
+        .at[jnp.where(is_new, rank, 2 * C)]
+        .set(pal_s, mode="drop")
+    )
+    base_rank = (
+        jnp.zeros((2 * C,), jnp.int32)
+        .at[jnp.where(is_new, rank, 2 * C)]
+        .set(base, mode="drop")
+    )
+    deg_dest0 = jnp.where(rvalid, base_rank, 2 * E)
+    deg_dest1 = jnp.where(rvalid & ~pal_rank, base_rank + 1, 2 * E)
+    outdeg = (
+        jnp.zeros((2 * E,), jnp.int32)
+        .at[deg_dest0].set(out0, mode="drop")
+        .at[deg_dest1].set(out1, mode="drop")
+    )
+    indeg = (
+        jnp.zeros((2 * E,), jnp.int32)
+        .at[deg_dest0].set(jnp.where(pal_rank, out0, out1), mode="drop")
+        .at[deg_dest1].set(out0, mode="drop")
+    )
+    tail = jnp.where(edge_valid, tail, 0)
+    head = jnp.where(edge_valid, head, 0)
+    return tail, head, n_nodes, outdeg, indeg
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -108,14 +108,31 @@ def _shift_left_bits(limbs: jax.Array, s: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def revcomp(limbs: jax.Array, k: int) -> jax.Array:
-    """Reverse complement of each key: reverse base order, complement each base."""
-    L = nlimbs(k)
+    """Reverse complement of each key: reverse base order, complement each base.
+
+    Works for keys stored in MORE limbs than nlimbs(k) (extra leading zero
+    limbs) — e.g. the (k-1)-mer endpoints the graph build canonicalizes in the
+    parent k-mer's limb count.
+    """
+    L = limbs.shape[-1]
     # Reverse all 16L 2-bit groups: per-limb group reversal + limb order reversal.
     rev = _rev2bit32(limbs)[..., ::-1]
-    # The reversed key now sits in the HIGH 2k bits; realign to the low bits.
-    rev = _shift_right_bits(rev, 32 * L - 2 * k)
+    # The reversed key now sits in the HIGH 2k bits; realign to the low bits
+    # (whole-limb shift first: the bit shift helper needs 0 <= s < 32).
+    s = 32 * L - 2 * k
+    if s >= 32:
+        w = s // 32
+        rev = jnp.concatenate(
+            [jnp.zeros_like(rev[..., :w]), rev[..., : L - w]], axis=-1
+        )
+        s -= 32 * w
+    rev = _shift_right_bits(rev, s)
     # Complement: each base c -> 3-c == c XOR 3, i.e. bitwise NOT on 2k bits.
     mask = jnp.asarray(key_mask(k))
+    if L != nlimbs(k):
+        mask = jnp.concatenate(
+            [jnp.zeros((L - mask.shape[0],), _U32), mask]
+        )
     return (rev ^ _FULL) & mask
 
 
