@@ -234,6 +234,16 @@ def assemble_reads_distributed(
     else:
         t2 = time.perf_counter()
         spec = gather_step(acc)
+        # Off-mesh copy: the replicated traversal is single-device semantics
+        # (every process computes the same contigs). Leaving the spectrum
+        # committed to the mesh lets GSPMD re-shard ranking internals, which
+        # breaks the host-orchestrated ruling-set ladder (mixed-sharding
+        # dynamic_update_slice) at E > 2^17. A host round-trip fully strips
+        # the mesh/Explicit sharding; the replicated spectrum is small.
+        spec = jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), jax.local_devices()[0]),
+            spec,
+        )
         jax.block_until_ready(spec)
         t["gather"] = time.perf_counter() - t2
 
