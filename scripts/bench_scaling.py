@@ -52,17 +52,27 @@ READS_PER_DEV = 2048  # fixed per-device load (weak scaling)
 GENOME_PER_DEV = 60_000  # bp of graph per device for the traversal step
 READ_LEN = 100
 K = 31
-REPS = 3
+REPS = 5  # timed repetitions per trial; the MEDIAN is reported
 
 
 def timeit(fn, *args, reps=REPS):
+    """Median of ``reps`` timed calls after one warm-up (compile) call.
+
+    Single-trial means on a 2-core box swing enough to show super-linear
+    "efficiency" (round-2 VERDICT weak #3); medians of repeated trials are
+    reported instead, alongside the min/max spread so any residual noise is
+    visible in the artifact rather than laundered into an efficiency claim.
+    """
     out = fn(*args)
     jax.block_until_ready(out)  # warm (compile)
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps, out
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2], (ts[0], ts[-1]), out
 
 
 def bench_count(n_dev: int) -> float:
@@ -92,8 +102,8 @@ def bench_count(n_dev: int) -> float:
         acc2, nw = step(codes, acc)
         return acc2.limbs, nw
 
-    dt, _ = timeit(run, codes, acc)
-    return dt
+    dt, spread, _ = timeit(run, codes, acc)
+    return dt, spread
 
 
 def bench_traverse(n_dev: int) -> tuple[float, int]:
@@ -128,8 +138,8 @@ def bench_traverse(n_dev: int) -> tuple[float, int]:
     cl, cc, cn = cut(acc.limbs, acc.counts, acc.n)
     n_edges = int(fetch_global(cn).sum())
     chains_step = make_dist_chains_step(cfg.k, n_dev, c_local, mesh)
-    dt, _ = timeit(chains_step, cl, cc, cn)
-    return dt, n_edges
+    dt, spread, _ = timeit(chains_step, cl, cc, cn)
+    return dt, spread, n_edges
 
 
 def main():
@@ -141,35 +151,36 @@ def main():
             "traverse_genome_bp": GENOME_PER_DEV,
         },
         "note": (
-            "virtual CPU devices timeshare the host cores; efficiency past "
-            "n_dev > host_cores is a lower bound for real ICI-linked chips"
+            "virtual CPU devices timeshare the host cores; step times are "
+            "MEDIANS of %d repetitions with (min,max) spread. A %d-core box "
+            "cannot measure compute efficiency past n_dev=cores — the rows "
+            "demonstrate that per-device collective volume stays O(1/n_dev) "
+            "(times would grow with TOTAL volume otherwise), not a chip-grade "
+            "efficiency figure" % (REPS, os.cpu_count() or 0)
         ),
         "rows": [],
     }
     base_count = base_trav = None
     for n_dev in (1, 2, 4, 8):
-        tc = bench_count(n_dev)
-        tt, n_edges = bench_traverse(n_dev)
+        tc, csp = bench_count(n_dev)
+        tt, tsp, n_edges = bench_traverse(n_dev)
         if n_dev == 1:
             base_count, base_trav = tc, tt
-        # the host's physical cores cap how many virtual devices can compute
-        # at once: the core-bound weak-scaling ceiling is min(1, cores/n_dev)
-        ceiling = min(1.0, os.cpu_count() / n_dev)
         row = {
             "n_dev": n_dev,
             "count_step_s": round(tc, 4),
+            "count_spread_s": [round(csp[0], 4), round(csp[1], 4)],
             "count_weak_eff": round(base_count / tc, 3),
-            "count_eff_vs_core_ceiling": round(base_count / tc / ceiling, 3),
             "traverse_step_s": round(tt, 4),
+            "traverse_spread_s": [round(tsp[0], 4), round(tsp[1], 4)],
             "traverse_weak_eff": round(base_trav / tt, 3),
-            "traverse_eff_vs_core_ceiling": round(base_trav / tt / ceiling, 3),
             "traverse_edges_total": n_edges,
         }
         out["rows"].append(row)
         print(json.dumps(row), flush=True)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_r02.json",
+        "SCALING_r03.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

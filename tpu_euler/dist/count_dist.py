@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -87,6 +89,7 @@ def _group_by_owner(limbs, valid, owner, n_dev: int, c_dest: int):
     return send_limbs, send_valid, n_dropped
 
 
+@functools.lru_cache(maxsize=None)
 def make_dist_count_step(k: int, n_dev: int, c_dest: int, mesh: Mesh):
     """Build the jit'd sharded per-batch counting step.
 
@@ -129,6 +132,7 @@ def make_dist_count_step(k: int, n_dev: int, c_dest: int, mesh: Mesh):
     )
 
 
+@functools.lru_cache(maxsize=None)
 def make_gather_spectrum(out_capacity: int, mesh: Mesh):
     """Build the jit'd merge of a DistSpectrum into one replicated Spectrum.
 

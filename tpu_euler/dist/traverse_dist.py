@@ -32,6 +32,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -200,6 +202,7 @@ def _node_record_exchange(edge_limbs, valid, k, n_dev, el_cap, c_node):
     return succ_gid, succ_lastb, has_pred, pred_gid, tail_dead, head_dead, n_drop1
 
 
+@functools.lru_cache(maxsize=None)
 def make_dist_chains_step(
     k: int,
     n_dev: int,
@@ -335,6 +338,7 @@ def make_dist_chains_step(
     )
 
 
+@functools.lru_cache(maxsize=None)
 def make_dist_cutoff_step(min_count: int, mesh: Mesh):
     """Per-shard frequency cutoff (counts are already exact global counts)."""
     from tpu_euler.kmer.count import Spectrum, apply_cutoff
@@ -506,6 +510,7 @@ def _allgather_fragments(frag: dict, k: int) -> list[dict]:
     return frags
 
 
+@functools.lru_cache(maxsize=None)
 def make_dist_tip_step(
     tip_len: int, n_dev: int, c_local: int, mesh: Mesh, slab_factor: float = 2.0
 ):
@@ -612,6 +617,7 @@ def find_tip_rows(sc: ShardChains, k: int, tip_len: int, c_local: int):
     return keep, int(tip_edge.sum())
 
 
+@functools.lru_cache(maxsize=None)
 def make_dist_compact_step(mesh: Mesh):
     """Per-shard spectrum compaction by an external keep mask (tip removal)."""
     from tpu_euler.kmer.count import Spectrum

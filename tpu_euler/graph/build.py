@@ -163,11 +163,6 @@ def assign_node_ids(
     out1 = segment_sums_sorted(is_new, rank, w1, 2 * C)
     ridx = jnp.arange(2 * C, dtype=jnp.int32)
     rvalid = ridx < n_canon
-    rbase = 2 * ridx - jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(
-            jnp.zeros((2 * C,), jnp.int32)  # placeholder; replaced below
-        )[:-1]]
-    )
     # per-rank pal flag + base, gathered from segment starts via scatter
     pal_rank = (
         jnp.zeros((2 * C,), jnp.bool_)

@@ -34,6 +34,12 @@ from tpu_euler.kmer.extract import extract_canonical_kmers, unpack_codes
 
 log = logging.getLogger("tpu_euler")
 
+# TPU_EULER_FINE_TIMERS=1 adds D2H syncs between graph substeps so stage
+# timers attribute work precisely (debug only — the syncs serialize dispatch).
+import os as _os
+
+_FINE_TIMERS = bool(int(_os.environ.get("TPU_EULER_FINE_TIMERS", "0")))
+
 
 @dataclasses.dataclass
 class AssemblyResult:
@@ -48,6 +54,15 @@ class AssemblyResult:
         return {c.decode() for c in self.contigs}
 
 
+# The make_* step factories are memoized: a FRESH jax.jit wrapper per call
+# would re-trace and re-load/upload the multi-MB executable through the axon
+# relay on EVERY assembly run (measured: +3.4 s/run on the graph step alone,
+# +1 s on fill/oneshot — the round-2 "unexplained 15% bench swing" was exactly
+# this). lru_cache keys on the static args, so each distinct (k, capacity, ...)
+# combination traces once per process and reuses the live executable after.
+
+
+@functools.lru_cache(maxsize=None)
 def make_count_step(k: int, read_len: int):
     """Fused per-batch device step: unpack + extract + canonicalize + count.
 
@@ -82,6 +97,7 @@ def make_count_step(k: int, read_len: int):
     return step
 
 
+@functools.lru_cache(maxsize=None)
 def make_graph_step(k: int, min_count: int):
     """Device step: cutoff -> graph (chains computed by the caller).
 
@@ -108,6 +124,7 @@ def assemble_reads(
     return assemble_codes(codes, cfg)
 
 
+@functools.lru_cache(maxsize=None)
 def make_extract_fill_step(k: int, read_len: int):
     """Per-batch: unpack + extract+canonicalize into the one-shot key buffers.
 
@@ -138,6 +155,7 @@ def make_extract_fill_step(k: int, read_len: int):
     return step
 
 
+@functools.lru_cache(maxsize=None)
 def make_oneshot_count(k: int, capacity: int):
     """Sort the full key buffer once; dedup + count into a capacity spectrum.
 
@@ -295,7 +313,9 @@ def count_spectrum_grouped(codes_all, cfg: AssemblyConfig, t: dict):
     oneshot = make_oneshot_count(cfg.k, cfg.spectrum_capacity)
     acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
     n_windows = jnp.zeros((), jnp.int32)
-    over_any = False
+    overs = []  # deferred overflow flags: a per-group D2H sync here would
+    # serialize group g's sort against group g+1's H2D fills; leaving the
+    # flags on device lets the sort overlap the next group's transfers
     feed = _batch_feed(codes_all, cfg)
     try:
         for g0 in range(0, n_batches, bpg):
@@ -317,11 +337,14 @@ def count_spectrum_grouped(codes_all, cfg: AssemblyConfig, t: dict):
             t1 = time.perf_counter()
             grp, over = oneshot(buf)
             acc = merge_spectra(acc, grp)
-            over_any = over_any or bool(over)  # D2H: drains this group
+            overs.append(over)
             t["count_drain"] += time.perf_counter() - t1
     finally:
         feed.close()
+    t1 = time.perf_counter()
     n_windows = int(n_windows)
+    over_any = any(bool(o) for o in overs)  # D2H: drains all group sorts
+    t["count_drain"] += time.perf_counter() - t1
     if over_any or spectrum_overflowed(acc):
         raise RuntimeError(
             f"spectrum capacity {cfg.spectrum_capacity} overflowed: "
@@ -424,8 +447,17 @@ def spectrum_to_contigs(
         t["tips"] = time.perf_counter() - t1
     t2 = time.perf_counter()
     g, cut = graph_step(acc)
+    if _FINE_TIMERS:  # debug attribution; forces a D2H sync per substep
+        import numpy as _np
+
+        _np.asarray(jax.device_get(g.head[0]))
+        t["graph_build"] = time.perf_counter() - t2
     chains = unitig_chains_fast(g, cfg.k)
     jax.block_until_ready(chains)
+    if _FINE_TIMERS:
+        import numpy as _np
+
+        _np.asarray(jax.device_get(chains.chain[0]))
     t["graph"] = time.perf_counter() - t2
     if save_graph_path:
         from tpu_euler.pipeline.checkpoint import save_graph
