@@ -336,7 +336,19 @@ def count_spectrum_grouped(codes_all, cfg: AssemblyConfig, t: dict):
                 t["count"] += time.perf_counter() - t1
             t1 = time.perf_counter()
             grp, over = oneshot(buf)
+            if _FINE_TIMERS:
+                import numpy as _np
+
+                _np.asarray(jax.device_get(grp.limbs[0, 0]))
+                t[f"drain_sort_g{g0 // bpg}"] = time.perf_counter() - t1
+                t1 = time.perf_counter()
             acc = merge_spectra(acc, grp)
+            if _FINE_TIMERS:
+                import numpy as _np
+
+                _np.asarray(jax.device_get(acc.limbs[0, 0]))
+                t[f"drain_merge_g{g0 // bpg}"] = time.perf_counter() - t1
+                t1 = time.perf_counter()
             overs.append(over)
             t["count_drain"] += time.perf_counter() - t1
     finally:
