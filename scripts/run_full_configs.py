@@ -112,7 +112,10 @@ def run_config5(genome_bp: int = 100_000_000):
         k=k,
         read_batch=1 << 18,
         read_len=100,
-        spectrum_capacity=1 << max(24, (2 * G).bit_length() - 1),
+        # ~G distinct k-mers (error-free sim); 1.2x margin. Not a pow2 —
+        # every 134M-row capacity array at k=41 costs 3 limbs + count, and the
+        # merge transient is the chip's peak allocation (round-3 OOM).
+        spectrum_capacity=max(1 << 24, int(1.2 * G)),
     )
     t0 = time.perf_counter()
     try:

@@ -128,3 +128,33 @@ def test_right_size_spectrum():
     # already tight: unchanged
     spec2 = spec._replace(n=jnp.asarray(4000, jnp.int32))
     assert right_size_spectrum(spec2, granule=256).limbs.shape[0] == 1 << 12
+
+
+def test_merge_spectra_lean_matches_merge_spectra():
+    """The memory-lean sentinel merge (config-5 OOM fix) is bit-identical to
+    the general merge, including at capacity overflow and with an empty acc."""
+    import numpy as np
+
+    from tpu_euler.kmer.count import Spectrum, merge_spectra, merge_spectra_lean
+
+    def mk(C, n, seed):
+        r = np.random.default_rng(seed)
+        ks = np.sort(r.choice(1 << 20, size=n, replace=False))
+        limbs = np.zeros((C, 2), np.uint32)
+        limbs[:n, 1] = ks
+        limbs[:n, 0] = ks >> 18
+        order = np.lexsort((limbs[:n, 1], limbs[:n, 0]))
+        limbs[:n] = limbs[:n][order]
+        counts = np.zeros(C, np.int32)
+        counts[:n] = r.integers(1, 50, n)
+        return Spectrum(
+            jnp.asarray(limbs), jnp.asarray(counts), jnp.asarray(n, jnp.int32)
+        )
+
+    for (ca, na, cb, nb) in [(1000, 700, 900, 500), (64, 0, 64, 30), (128, 100, 64, 64)]:
+        m1 = merge_spectra(mk(ca, na, 1), mk(cb, nb, 2))
+        m2 = merge_spectra_lean(mk(ca, na, 1), mk(cb, nb, 2))
+        n1, n2 = int(m1.n), int(m2.n)
+        assert n1 == n2
+        assert np.array_equal(np.asarray(m1.limbs[:n1]), np.asarray(m2.limbs[:n2]))
+        assert np.array_equal(np.asarray(m1.counts[:n1]), np.asarray(m2.counts[:n2]))

@@ -126,3 +126,42 @@ def apply_cutoff(spec: Spectrum, min_count: int) -> Spectrum:
 def spectrum_overflowed(spec: Spectrum) -> bool:
     """Host-side overflow check: distinct keys hit capacity (results untrustworthy)."""
     return int(spec.n) >= spec.limbs.shape[0]
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def merge_spectra_lean(acc: Spectrum, batch: Spectrum) -> Spectrum:
+    """Memory-lean sorted-spectrum merge for k % 16 != 0 (sentinel-safe keys).
+
+    ``merge_spectra`` sorts L+2 operands (validity + limbs + counts) of 2C
+    rows; at SPEC config-5 scale (C=134M, L=3) that is a ~10.7 GB transient —
+    the site of the round-3 RESOURCE_EXHAUSTED on a 16 GB chip. For odd k
+    with k %% 16 != 0 limb 0 of a valid key never uses all 32 bits, so
+    invalid rows can carry the all-ones sentinel IN limb 0 and the explicit
+    validity operand disappears: L+1 operands, and the merged output needs no
+    separate mask pass (sentinels sort last). acc is donated — its buffers
+    are dead after the merge.
+    """
+    C = acc.limbs.shape[0]
+    L = acc.limbs.shape[1]
+    iota_a = jnp.arange(C, dtype=jnp.int32)
+    iota_b = jnp.arange(batch.limbs.shape[0], dtype=jnp.int32)
+    SENT = jnp.uint32(0xFFFFFFFF)
+    la = jnp.where((iota_a < acc.n)[:, None], acc.limbs, SENT)
+    lb = jnp.where((iota_b < batch.n)[:, None], batch.limbs, SENT)
+    limbs = jnp.concatenate([la, lb], axis=0)
+    counts = jnp.concatenate([acc.counts, batch.counts])
+    ops = [limbs[:, j] for j in range(L)] + [counts.astype(jnp.uint32)]
+    out = jax.lax.sort(ops, num_keys=L, is_stable=False)
+    sl = jnp.stack(out[:L], axis=-1)
+    sc = out[L].astype(jnp.int32)
+    sv = out[0] != SENT
+    prev = jnp.roll(sl, 1, axis=0)
+    is_new = (jnp.any(sl != prev, axis=-1)).at[0].set(True) & sv
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    n = jnp.sum(is_new.astype(jnp.int32))
+    dest = jnp.where(sv & (seg < C), seg, C)
+    ucounts = jnp.zeros((C,), jnp.int32).at[dest].add(sc, mode="drop")
+    uniq = jnp.zeros((C, L), jnp.uint32).at[
+        jnp.where(is_new & (seg < C), seg, C)
+    ].set(sl, mode="drop")
+    return Spectrum(uniq, ucounts, jnp.minimum(n, C))

@@ -303,19 +303,25 @@ def count_spectrum_grouped(codes_all, cfg: AssemblyConfig, t: dict):
     than the legacy per-batch raw merge (one capacity+windows sort per
     batch), while holding device memory at the same oneshot_rows bound.
     """
-    from tpu_euler.kmer.count import merge_spectra
+    from tpu_euler.kmer.count import merge_spectra_lean
 
     Wb = cfg.read_batch * cfg.windows_per_read
     n_batches = _n_batches(codes_all, cfg)
     bpg = max(1, cfg.oneshot_rows // Wb)  # batches per group
     T = bpg * Wb
+    n_groups = -(-n_batches // bpg)
     fill = make_extract_fill_step(cfg.k, cfg.read_len)
     oneshot = make_oneshot_count(cfg.k, cfg.spectrum_capacity)
     acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
     n_windows = jnp.zeros((), jnp.int32)
-    overs = []  # deferred overflow flags: a per-group D2H sync here would
-    # serialize group g's sort against group g+1's H2D fills; leaving the
-    # flags on device lets the sort overlap the next group's transfers
+    # Deferring the per-group overflow D2H lets group g's sort overlap group
+    # g+1's H2D fills — but every deferred group keeps its buffer + sort
+    # workspace queued, and at config-5 scale (13 groups of 2.3 GB buffers,
+    # 134M-capacity merges) that RESOURCE_EXHAUSTED a 16 GB chip. Guard: only
+    # defer for small group counts; sync per group beyond that so at most one
+    # group's transient workspace is live at a time.
+    defer_sync = n_groups <= 4
+    overs = []
     feed = _batch_feed(codes_all, cfg)
     try:
         for g0 in range(0, n_batches, bpg):
@@ -342,14 +348,17 @@ def count_spectrum_grouped(codes_all, cfg: AssemblyConfig, t: dict):
                 _np.asarray(jax.device_get(grp.limbs[0, 0]))
                 t[f"drain_sort_g{g0 // bpg}"] = time.perf_counter() - t1
                 t1 = time.perf_counter()
-            acc = merge_spectra(acc, grp)
+            acc = merge_spectra_lean(acc, grp)
+            if defer_sync:
+                overs.append(over)
+            elif bool(over):  # D2H sync: drains this group's workspace
+                overs.append(jnp.ones((), jnp.bool_))
             if _FINE_TIMERS:
                 import numpy as _np
 
                 _np.asarray(jax.device_get(acc.limbs[0, 0]))
                 t[f"drain_merge_g{g0 // bpg}"] = time.perf_counter() - t1
                 t1 = time.perf_counter()
-            overs.append(over)
             t["count_drain"] += time.perf_counter() - t1
     finally:
         feed.close()
