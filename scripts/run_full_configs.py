@@ -124,6 +124,9 @@ def run_config5(genome_bp: int = 100_000_000):
         t0 = time.perf_counter()
         res = assemble_codes(codes, cfg)
     except Exception as e:
+        import traceback
+
+        traceback.print_exc()
         return {
             "config": f"5 C.elegans-scale FULL {G/1e6:.0f} Mbp 40x k=41 single chip",
             "genome_bp": G,
