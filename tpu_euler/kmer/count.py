@@ -16,6 +16,7 @@ so total memory stays bounded by ``spectrum_capacity`` regardless of read count
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -128,8 +129,8 @@ def spectrum_overflowed(spec: Spectrum) -> bool:
     return int(spec.n) >= spec.limbs.shape[0]
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def merge_spectra_lean(acc: Spectrum, batch: Spectrum) -> Spectrum:
+@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+def merge_spectra_lean(acc: Spectrum, batch: Spectrum, *, k: int) -> Spectrum:
     """Memory-lean sorted-spectrum merge for k % 16 != 0 (sentinel-safe keys).
 
     ``merge_spectra`` sorts L+2 operands (validity + limbs + counts) of 2C
@@ -140,7 +141,16 @@ def merge_spectra_lean(acc: Spectrum, batch: Spectrum) -> Spectrum:
     validity operand disappears: L+1 operands, and the merged output needs no
     separate mask pass (sentinels sort last). acc is donated — its buffers
     are dead after the merge.
+
+    ``k`` is static and asserted here (not just at the pipeline call site) so
+    a future caller — e.g. the dist merge path — cannot feed k %% 16 == 0
+    keys, whose valid poly-T limb 0 EQUALS the sentinel and would be dropped.
     """
+    assert k % 16 != 0, (
+        f"merge_spectra_lean requires k % 16 != 0 (sentinel-safe limb 0); "
+        f"got k={k} — use merge_spectra instead"
+    )
+    assert math.ceil(k / 16) == acc.limbs.shape[1], (k, acc.limbs.shape)
     C = acc.limbs.shape[0]
     L = acc.limbs.shape[1]
     iota_a = jnp.arange(C, dtype=jnp.int32)
