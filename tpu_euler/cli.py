@@ -249,11 +249,13 @@ def _assemble_with_args(args, t0):
             bubble_len=args.bubble_len,
         )
         t: dict = {}
+        # fetch BEFORE spectrum_to_contigs: it donates the spectrum's buffers
+        n_counted = int(spec.counts.sum())
         contigs, n_cut = spectrum_to_contigs(spec, cfg, t)
         result = AssemblyResult(
             contigs=contigs,
             n_distinct_kmers=n_cut,
-            n_kmers_counted=int(spec.counts.sum()),
+            n_kmers_counted=n_counted,
             n_reads=0,
             stage_seconds=t,
         )

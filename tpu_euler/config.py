@@ -54,6 +54,13 @@ class AssemblyConfig:
     # one-shot counting: if the whole run's windows fit this many rows, buffer
     # all canonical keys and sort ONCE instead of merging per batch (0 = off).
     oneshot_rows: int = 192_000_000
+    # Node-array capacity as a fraction of edge capacity E. 2.0 = the exact
+    # worst case 2E (every edge endpoint distinct — isolated k-mers). In a
+    # connected assembly graph n_nodes ~~ E, so memory-bound runs (SPEC
+    # config 5: 100 Mbp on one 16 GB chip) set ~1.15 to halve the four
+    # per-node int32 arrays; the pipeline verifies n_nodes fits and raises
+    # with guidance if not.
+    node_cap_factor: float = 2.0
 
     def __post_init__(self):
         if self.k < 3 or self.k % 2 == 0:

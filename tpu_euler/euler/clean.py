@@ -35,8 +35,8 @@ def clip_tips_once(spec: Spectrum, k: int, tip_len: int) -> tuple[Spectrum, jax.
     E = g.edge_limbs.shape[0]
     C = E // 2
 
-    h = jnp.clip(g.head, 0, 2 * E - 1)
-    tl = jnp.clip(g.tail, 0, 2 * E - 1)
+    h = jnp.clip(g.head, 0, g.outdeg.shape[0] - 1)
+    tl = jnp.clip(g.tail, 0, g.indeg.shape[0] - 1)
     # chain-indexed dead flags (chain id = end edge id in [0, E))
     is_end = chains.in_chain & (chains.pos == chains.length - 1)
     dead_s = (
@@ -126,8 +126,8 @@ def pop_bubbles_once(
 
     # chain-level tables (chain id = end-edge id, slots [0, E))
     is_end = member & (chains.pos == chains.length - 1)
-    h = jnp.clip(g.head, 0, 2 * E - 1)
-    tl = jnp.clip(g.tail, 0, 2 * E - 1)
+    h = jnp.clip(g.head, 0, g.outdeg.shape[0] - 1)
+    tl = jnp.clip(g.tail, 0, g.indeg.shape[0] - 1)
     u = jnp.full((E,), BIG).at[jnp.where(chains.is_start & member, cid, E)].set(
         tl, mode="drop"
     )

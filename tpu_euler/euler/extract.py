@@ -112,9 +112,18 @@ class DeviceEmission(NamedTuple):
     total: jax.Array  # [] int32 total bytes used
 
 
+def _edge_limbs_of(g) -> jax.Array:
+    """Accept either a DeBruijnGraph or the bare edge-key array.
+
+    Emission touches nothing but the edge keys; taking them bare lets
+    memory-bound callers free the rest of the graph first.
+    """
+    return g.edge_limbs if isinstance(g, DeBruijnGraph) else g
+
+
 @functools.partial(jax.jit, static_argnames=("k", "out_capacity", "chain_capacity"))
 def emit_chains_device(
-    g: DeBruijnGraph,
+    edge_limbs: jax.Array,
     chains: UnitigChains,
     k: int,
     out_capacity: int,
@@ -129,7 +138,7 @@ def emit_chains_device(
     end-edge-id order (ascending offsets, as canonicalize_contig_buffer
     expects).
     """
-    E, L = g.edge_limbs.shape
+    E, L = edge_limbs.shape
     eid = jnp.arange(E, dtype=jnp.int32)
     valid = chains.in_chain
     is_rep = valid & (chains.chain == eid)  # this edge ends its own chain
@@ -145,7 +154,7 @@ def emit_chains_device(
 
     # scatter every edge's last base into the buffer
     out_pos = chain_off + (k - 1) + chains.pos
-    lastb = (g.edge_limbs[:, L - 1] & jnp.uint32(3)).astype(jnp.uint8)
+    lastb = (edge_limbs[:, L - 1] & jnp.uint32(3)).astype(jnp.uint8)
     dest = jnp.where(valid & (out_pos < out_capacity), out_pos, out_capacity)
     buf = jnp.zeros((out_capacity,), jnp.uint8).at[dest].set(lastb, mode="drop")
 
@@ -163,7 +172,7 @@ def emit_chains_device(
     start_limbs = (
         jnp.zeros((chain_capacity, L), jnp.uint32)
         .at[crank_start]
-        .set(g.edge_limbs, mode="drop")
+        .set(edge_limbs, mode="drop")
     )
     return DeviceEmission(
         buf=buf,
@@ -176,17 +185,20 @@ def emit_chains_device(
 
 
 def chains_to_contigs_device(
-    g: DeBruijnGraph,
+    g: DeBruijnGraph | jax.Array,
     chains: UnitigChains,
     k: int,
     out_capacity: int | None = None,
     chain_capacity: int | None = None,
 ) -> set[bytes]:
-    """Device-scatter emission; falls back to the host path on capacity overflow."""
-    E = g.edge_limbs.shape[0]
+    """Device-scatter emission; falls back to the host path on capacity overflow.
+
+    ``g`` may be a DeBruijnGraph or just its edge-key array."""
+    edge_limbs = _edge_limbs_of(g)
+    E = edge_limbs.shape[0]
     out_capacity = out_capacity or E + (k - 1) * max(1024, E >> 4)
     chain_capacity = chain_capacity or max(1024, E >> 4)
-    em = emit_chains_device(g, chains, k, out_capacity, chain_capacity)
+    em = emit_chains_device(edge_limbs, chains, k, out_capacity, chain_capacity)
     n_chains = int(em.n_chains)
     total = int(em.total)
     if n_chains > chain_capacity or total > out_capacity:
@@ -203,13 +215,13 @@ def chains_to_contigs_device(
             )
             g2 = max(1 << 14, 1 << (max(n_chains - 1, 1)).bit_length())
             g3 = max(1 << 20, 1 << (max(total - 1, 1)).bit_length())
-            return chains_to_contigs_device(g, chains, k, g3, g2)
+            return chains_to_contigs_device(edge_limbs, chains, k, g3, g2)
         HOST_FALLBACKS += 1
         log.warning(
             "device emission fell back to the host O(E) path "
             "(%d chains, %d bytes)", n_chains, total,
         )
-        return chains_to_contigs(g, chains, k)  # pathological fragment blowup
+        return chains_to_contigs(edge_limbs, chains, k)  # pathological fragment blowup
     if n_chains == 0:
         return set()
 
@@ -261,7 +273,7 @@ def assemble_contig_bytes(
 
 
 def chains_to_contigs(
-    g: DeBruijnGraph, chains: UnitigChains, k: int
+    g: DeBruijnGraph | jax.Array, chains: UnitigChains, k: int
 ) -> set[bytes]:
     """Assemble canonical contig byte-strings from per-edge chain assignments."""
     idx = np.flatnonzero(np.asarray(chains.in_chain))
@@ -270,6 +282,6 @@ def chains_to_contigs(
     return assemble_contig_bytes(
         np.asarray(chains.chain)[idx],
         np.asarray(chains.pos)[idx],
-        np.asarray(g.edge_limbs)[idx],
+        np.asarray(_edge_limbs_of(g))[idx],
         k,
     )

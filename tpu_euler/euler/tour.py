@@ -80,7 +80,7 @@ def _pair_successors(g: DeBruijnGraph) -> jax.Array:
         eid - head_start[jnp.clip(s_head.astype(jnp.int32), 0, 2 * E - 1)]
     )
 
-    h = jnp.clip(g.head, 0, 2 * E - 1)
+    h = jnp.clip(g.head, 0, g.outdeg.shape[0] - 1)
     slot = offset[h] + inrank
     paired = inrank < g.outdeg[h]  # head has an out-edge to pair with
     succ = jnp.where(

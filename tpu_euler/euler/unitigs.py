@@ -93,31 +93,41 @@ def successor(g: DeBruijnGraph, k: int) -> jax.Array:
     ONE random gather per edge: ``g.succ_cand`` pre-folds the simple-node
     test and out_first into a single array at graph-build time.
     """
-    E = g.edge_limbs.shape[0]
-    h = jnp.clip(g.head, 0, 2 * E - 1)
+    h = jnp.clip(g.head, 0, g.succ_cand.shape[0] - 1)
     nxt = g.succ_cand[h]
     return jnp.where(g.edge_valid, nxt, -1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def transition_keys(g: DeBruijnGraph, succ: jax.Array, k: int) -> jax.Array:
+def transition_keys_el(
+    edge_limbs: jax.Array, succ: jax.Array, k: int
+) -> jax.Array:
     """t[e] = canonical (k+1)-mer of edge e + its successor's last base.
 
     The deterministic, strand-symmetric tie-break key for cycle cutting:
     the forward and reverse-complement copies of a cycle see mirror-equal
     keys, so they cut at mirror positions and emit exact-RC contigs (matches
     the CPU oracle rule). All-ones sentinel where succ < 0.
+
+    Takes the bare edge-key array (not the full graph) so memory-bound
+    callers can free the graph's node arrays before the traversal.
     """
     E = succ.shape[0]
     SENT = jnp.uint32(0xFFFFFFFF)
-    nb = keys.last_base(g.edge_limbs[jnp.clip(succ, 0, E - 1)])
-    t = keys.append_base(g.edge_limbs, nb, k)
+    nb = keys.last_base(edge_limbs[jnp.clip(succ, 0, E - 1)])
+    t = keys.append_base(edge_limbs, nb, k)
     t, _ = keys.canonical(t, k + 1)
     return jnp.where((succ >= 0)[:, None], t, SENT)
 
 
+def transition_keys(g: DeBruijnGraph, succ: jax.Array, k: int) -> jax.Array:
+    return transition_keys_el(g.edge_limbs, succ, k)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
-def cut_cycles(g: DeBruijnGraph, succ: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+def cut_cycles_el(
+    edge_limbs: jax.Array, edge_valid: jax.Array, succ: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
     """Break pure cycles deterministically. Returns (succ_cut, on_cycle).
 
     Cycle detection and min-transition propagation run in ONE fused doubling
@@ -126,11 +136,10 @@ def cut_cycles(g: DeBruijnGraph, succ: jax.Array, k: int) -> tuple[jax.Array, ja
     gathers (random-gather transactions, not bytes, dominate on TPU HBM).
     """
     E = succ.shape[0]
-    L = g.edge_limbs.shape[1]
     rounds = _log2_ceil(E) + 1
     SENT = jnp.uint32(0xFFFFFFFF)
 
-    t = transition_keys(g, succ, k)
+    t = transition_keys_el(edge_limbs, succ, k)
 
     # packed state: column 0 = pointer (sentinel = all-ones), columns 1..L = min key
     p0 = jnp.where(succ >= 0, succ.astype(jnp.uint32), SENT)
@@ -147,10 +156,16 @@ def cut_cycles(g: DeBruijnGraph, succ: jax.Array, k: int) -> tuple[jax.Array, ja
         return jnp.concatenate([p_new[:, None], m_new], axis=1)
 
     S = jax.lax.fori_loop(0, rounds, round_fn, state0)
-    on_cycle = (S[:, 0] != SENT) & g.edge_valid
+    on_cycle = (S[:, 0] != SENT) & edge_valid
     is_cut = on_cycle & keys.key_eq(t, S[:, 1:])
     succ_cut = jnp.where(is_cut, -1, succ)
     return succ_cut, on_cycle
+
+
+def cut_cycles(
+    g: DeBruijnGraph, succ: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    return cut_cycles_el(g.edge_limbs, g.edge_valid, succ, k)
 
 
 @jax.jit
@@ -191,15 +206,20 @@ def _chains_from_rank(
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def unitig_chains_el(
+    edge_limbs: jax.Array, edge_valid: jax.Array, succ0: jax.Array, k: int
+) -> UnitigChains:
+    """Doubling-path chain computation from a precomputed successor array."""
+    E = edge_limbs.shape[0]
+    rounds = _log2_ceil(E) + 1
+    succ, on_cycle = cut_cycles_el(edge_limbs, edge_valid, succ0, k)
+    d, end_edge = wyllie_rank(succ, rounds)
+    return _chains_from_rank(edge_valid, succ, d, end_edge, on_cycle)
+
+
 def unitig_chains(g: DeBruijnGraph, k: int) -> UnitigChains:
     """Full chain computation; see module docstring."""
-    E = g.edge_limbs.shape[0]
-    rounds = _log2_ceil(E) + 1
-
-    succ0 = successor(g, k)
-    succ, on_cycle = cut_cycles(g, succ0, k)
-    d, end_edge = wyllie_rank(succ, rounds)
-    return _chains_from_rank(g.edge_valid, succ, d, end_edge, on_cycle)
+    return unitig_chains_el(g.edge_limbs, g.edge_valid, successor(g, k), k)
 
 
 @jax.jit
@@ -208,7 +228,13 @@ def _apply_cut(succ0, t, on_cycle, cyc_min):
     return jnp.where(is_cut, -1, succ0), is_cut
 
 
-def unitig_chains_fast(g: DeBruijnGraph, k: int, min_edges: int = 1 << 17) -> UnitigChains:
+def chains_from_successors(
+    edge_limbs: jax.Array,
+    edge_valid: jax.Array,
+    succ0: jax.Array,
+    k: int,
+    min_edges: int = 1 << 17,
+) -> UnitigChains:
     """Chain computation via sparse-ruling-set ranking (euler/ranking.py).
 
     ONE ruler walk total: the cycle-min walk's owner/ruler tables are reused
@@ -218,25 +244,38 @@ def unitig_chains_fast(g: DeBruijnGraph, k: int, min_edges: int = 1 << 17) -> Un
     from live counts), output bit-identical to ``unitig_chains``. Falls back
     to the doubling path for small graphs (fewer programs) and on the ranking
     module's rare overflow returns.
+
+    Takes (edge_limbs, edge_valid, succ0) rather than the graph record so
+    callers at memory-bound scale can free the graph's node arrays (~half
+    its footprint) before this traversal — the successor array is the only
+    thing the walk needs from them.
     """
     from tpu_euler.euler import ranking
 
-    E = g.edge_limbs.shape[0]
+    E = edge_limbs.shape[0]
     if E <= min_edges:
-        return unitig_chains(g, k)
-    succ0 = successor(g, k)
-    t = transition_keys(g, succ0, k)
-    res = ranking.cycle_min_ruling_tables(succ0, g.edge_valid, t)
+        return unitig_chains_el(edge_limbs, edge_valid, succ0, k)
+    t = transition_keys_el(edge_limbs, succ0, k)
+    res = ranking.cycle_min_ruling_tables(succ0, edge_valid, t)
     if res is None:
-        return unitig_chains(g, k)
+        return unitig_chains_el(edge_limbs, edge_valid, succ0, k)
     on_cycle, cyc_min, owner_off, tabs, succ_c = res
     succ, is_cut = _apply_cut(succ0, t, on_cycle, cyc_min)
+    del t
     rr = ranking.rank_chains_with_cut(
-        succ, g.edge_valid, is_cut, owner_off, tabs, succ_c
+        succ, edge_valid, is_cut, owner_off, tabs, succ_c
     )
     if rr is None:
-        rr = ranking.rank_chains_ruling(succ, g.edge_valid)
+        rr = ranking.rank_chains_ruling(succ, edge_valid)
     if rr is None:
-        return unitig_chains(g, k)
+        return unitig_chains_el(edge_limbs, edge_valid, succ0, k)
     d, end_edge = rr
-    return _chains_from_rank(g.edge_valid, succ, d, end_edge, on_cycle)
+    return _chains_from_rank(edge_valid, succ, d, end_edge, on_cycle)
+
+
+def unitig_chains_fast(
+    g: DeBruijnGraph, k: int, min_edges: int = 1 << 17
+) -> UnitigChains:
+    return chains_from_successors(
+        g.edge_limbs, g.edge_valid, successor(g, k), k, min_edges
+    )

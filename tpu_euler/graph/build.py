@@ -27,9 +27,12 @@ from tpu_euler.kmer.count import Spectrum
 class DeBruijnGraph(NamedTuple):
     """Doubled de Bruijn graph in dense-array form.
 
-    E = edge capacity (2x spectrum capacity); node arrays have capacity 2E
-    (every edge endpoint could be distinct). k is NOT stored here (it is a
-    static Python value threaded separately so the pytree stays array-only).
+    E = edge capacity (2x spectrum capacity); node arrays have capacity
+    ``node_cap`` (default 2E — every edge endpoint distinct, the exact worst
+    case; memory-bound callers may trim, see ``assign_node_ids``). Consumers
+    must bound node-id gathers by the node arrays' own shape, not 2E. k is
+    NOT stored here (it is a static Python value threaded separately so the
+    pytree stays array-only).
     """
 
     edge_limbs: jax.Array  # [E, L] uint32 — k-mer of each edge
@@ -38,10 +41,10 @@ class DeBruijnGraph(NamedTuple):
     head: jax.Array  # [E] int32 node id of suffix (k-1)-mer
     n_edges: jax.Array  # [] int32
     n_nodes: jax.Array  # [] int32
-    indeg: jax.Array  # [2E] int32 distinct in-edges per node
-    outdeg: jax.Array  # [2E] int32 distinct out-edges per node
-    out_first: jax.Array  # [2E] int32 min edge id with tail==node (E if none)
-    succ_cand: jax.Array  # [2E] int32 out_first where node is simple, else -1
+    indeg: jax.Array  # [node_cap] int32 distinct in-edges per node
+    outdeg: jax.Array  # [node_cap] int32 distinct out-edges per node
+    out_first: jax.Array  # [node_cap] int32 min edge id with tail==node (E if none)
+    succ_cand: jax.Array  # [node_cap] int32 out_first where node is simple, else -1
     # (precomputed so the successor kernel costs ONE random gather per edge
     #  instead of three — random-gather transactions dominate on TPU HBM)
 
@@ -66,13 +69,19 @@ def doubled_edges(spec: Spectrum, k: int) -> tuple[jax.Array, jax.Array]:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "node_cap"))
 def assign_node_ids(
-    edge_limbs: jax.Array, edge_valid: jax.Array, k: int
+    edge_limbs: jax.Array, edge_valid: jax.Array, k: int, node_cap: int = 0
 ):
     """Assign dense node ids to the distinct endpoint (k-1)-mers of all edges.
 
-    Returns (tail [E], head [E], n_nodes [], outdeg [2E], indeg [2E]).
+    Returns (tail [E], head [E], n_nodes [], outdeg [node_cap], indeg
+    [node_cap]). ``node_cap`` (0 -> 2E, the exact worst case: every endpoint
+    distinct) sizes the per-node arrays: in a connected assembly graph
+    n_nodes ~~ E, so a caller at memory-bound scale can pass ~1.15*E and
+    save half the node-array footprint (4 int32 arrays). If n_nodes exceeds
+    node_cap the degree scatters silently drop — callers that trim MUST
+    check the returned n_nodes against node_cap on host and fail/retry.
 
     The doubled graph's endpoint multiset is closed under reverse complement
     (every edge's RC is also an edge), so the distinct RAW endpoints are
@@ -96,6 +105,7 @@ def assign_node_ids(
 
     E = edge_limbs.shape[0]
     C = E // 2
+    node_cap = node_cap or 2 * E
     fwd = edge_limbs[:C]  # rows [C:] are revcomp(fwd) by doubled_edges layout
     valid = edge_valid[:C]
     pre = keys.prefix(fwd, k)
@@ -174,15 +184,15 @@ def assign_node_ids(
         .at[jnp.where(is_new, rank, 2 * C)]
         .set(base, mode="drop")
     )
-    deg_dest0 = jnp.where(rvalid, base_rank, 2 * E)
-    deg_dest1 = jnp.where(rvalid & ~pal_rank, base_rank + 1, 2 * E)
+    deg_dest0 = jnp.where(rvalid, base_rank, node_cap)
+    deg_dest1 = jnp.where(rvalid & ~pal_rank, base_rank + 1, node_cap)
     outdeg = (
-        jnp.zeros((2 * E,), jnp.int32)
+        jnp.zeros((node_cap,), jnp.int32)
         .at[deg_dest0].set(out0, mode="drop")
         .at[deg_dest1].set(out1, mode="drop")
     )
     indeg = (
-        jnp.zeros((2 * E,), jnp.int32)
+        jnp.zeros((node_cap,), jnp.int32)
         .at[deg_dest0].set(jnp.where(pal_rank, out0, out1), mode="drop")
         .at[deg_dest1].set(out0, mode="drop")
     )
@@ -191,20 +201,28 @@ def assign_node_ids(
     return tail, head, n_nodes, outdeg, indeg
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def build_graph(spec: Spectrum, k: int) -> DeBruijnGraph:
-    """Full graph build from a (cutoff-filtered) canonical k-mer spectrum."""
+@functools.partial(jax.jit, static_argnames=("k", "node_cap"))
+def build_graph(spec: Spectrum, k: int, node_cap: int = 0) -> DeBruijnGraph:
+    """Full graph build from a (cutoff-filtered) canonical k-mer spectrum.
+
+    ``node_cap`` (0 -> exact worst case 2E) trims the four per-node arrays;
+    trimming callers must verify n_nodes <= node_cap on host afterwards.
+    """
     edge_limbs, edge_valid = doubled_edges(spec, k)
     E = edge_limbs.shape[0]
-    tail, head, n_nodes, outdeg, indeg = assign_node_ids(edge_limbs, edge_valid, k)
+    node_cap = node_cap or 4 * E // 2  # = 2E; keep int for static hashing
+    tail, head, n_nodes, outdeg, indeg = assign_node_ids(
+        edge_limbs, edge_valid, k, node_cap
+    )
     one = jnp.where(edge_valid, 1, 0).astype(jnp.int32)
-    tail_c = jnp.where(edge_valid, tail, 2 * E - 1)
-    # min edge id per tail node (the unique out-edge where outdeg == 1)
+    tail_c = jnp.where(edge_valid, tail, node_cap - 1)
+    # min edge id per tail node (the unique out-edge where outdeg == 1);
+    # invalid edges write the E sentinel, which never wins a min
     eid = jnp.arange(E, dtype=jnp.int32)
     out_first = (
-        jnp.full((2 * E,), E, jnp.int32)
+        jnp.full((node_cap,), E, jnp.int32)
         .at[tail_c]
-        .min(jnp.where(edge_valid, eid, E))
+        .min(jnp.where(edge_valid, eid, E), mode="drop")
     )
     simple = (indeg == 1) & (outdeg == 1) & (out_first < E)
     succ_cand = jnp.where(simple, out_first, -1)

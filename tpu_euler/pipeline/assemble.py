@@ -104,6 +104,11 @@ def make_graph_step(k: int, min_count: int):
     Chains use the host-orchestrated sparse-ruling-set path
     (``unitig_chains_fast``) for large graphs — O(E) random-access work vs
     doubling's O(E log E) — so they cannot live inside this jit.
+
+    Kept for profiling scripts; the pipeline itself uses the split
+    ``make_cutoff_step`` + ``build_graph`` so the pre-cutoff spectrum's
+    buffers are donated away and the graph's node arrays can be trimmed
+    (memory headroom for SPEC config 5 — 100 Mbp on a 16 GB chip).
     """
 
     @jax.jit
@@ -111,6 +116,20 @@ def make_graph_step(k: int, min_count: int):
         cut = apply_cutoff(spec, min_count)
         g = build_graph(cut, k)
         return g, cut
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def make_cutoff_step(min_count: int):
+    """jit'd cutoff with the input spectrum DONATED: apply_cutoff writes
+    same-shaped arrays, so the output aliases the donated input and the
+    pre-cutoff spectrum costs no extra residency — even though the caller
+    (assemble_codes' frame) still holds a now-invalidated reference."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(spec: Spectrum) -> Spectrum:
+        return apply_cutoff(spec, min_count)
 
     return step
 
@@ -463,10 +482,19 @@ def spectrum_to_contigs(
     t: dict | None = None,
     save_graph_path: str = "",
 ) -> tuple[set, int]:
-    """Cutoff (+ tip clipping) + graph + traversal + emission. Returns (contigs, n_cut)."""
+    """Cutoff (+ tip clipping) + graph + traversal + emission. Returns (contigs, n_cut).
+
+    Buffer lifetimes are managed aggressively for 16 GB-chip headroom at
+    SPEC config-5 scale (100 Mbp -> ~220M doubled edges): the pre-cutoff
+    spectrum is donated into the cutoff jit, the cut spectrum is dropped as
+    soon as the graph is built, and the graph's node arrays (~half its
+    bytes) are dropped once the successor array exists — the ruling-set
+    walk and emission need only (edge_limbs, edge_valid, succ0).
+    """
+    from tpu_euler.euler.unitigs import chains_from_successors, successor
+
     t = t if t is not None else {}
     acc = right_size_spectrum(acc)
-    graph_step = make_graph_step(cfg.k, cfg.min_count)
     if cfg.tip_rounds or cfg.bubble_rounds:
         from tpu_euler.euler.clean import clip_tips, pop_bubbles
 
@@ -482,13 +510,37 @@ def spectrum_to_contigs(
             log.info("bubble popping removed %d k-mers", n_popped)
         t["tips"] = time.perf_counter() - t1
     t2 = time.perf_counter()
-    g, cut = graph_step(acc)
+    cut = make_cutoff_step(cfg.min_count)(acc)
+    del acc  # donated into the cutoff step — dead either way
+    E = 2 * cut.limbs.shape[0]
+    node_cap = 0  # 0 -> exact worst case 2E
+    if cfg.node_cap_factor < 2.0:
+        granule = 1 << 18
+        node_cap = min(
+            2 * E, -(-int(cfg.node_cap_factor * E) // granule) * granule
+        )
+    g = build_graph(cut, cfg.k, node_cap)
+    n_cut_dev = cut.n  # scalar; fetched at return (no mid-pipeline sync)
+    del cut
+    if node_cap and node_cap < 2 * E:
+        n_nodes = int(g.n_nodes)  # D2H sync — only on the trimmed path
+        if n_nodes > node_cap:
+            raise RuntimeError(
+                f"node capacity {node_cap} < n_nodes {n_nodes}: raise "
+                f"AssemblyConfig.node_cap_factor (currently "
+                f"{cfg.node_cap_factor})"
+            )
     if _FINE_TIMERS:  # debug attribution; forces a D2H sync per substep
         import numpy as _np
 
         _np.asarray(jax.device_get(g.head[0]))
         t["graph_build"] = time.perf_counter() - t2
-    chains = unitig_chains_fast(g, cfg.k)
+    succ0 = successor(g, cfg.k)
+    edge_limbs, edge_valid = g.edge_limbs, g.edge_valid
+    if not save_graph_path:
+        del g  # frees tail/head/degree/succ_cand arrays before the walk
+    chains = chains_from_successors(edge_limbs, edge_valid, succ0, cfg.k)
+    del succ0
     jax.block_until_ready(chains)
     if _FINE_TIMERS:
         import numpy as _np
@@ -499,11 +551,12 @@ def spectrum_to_contigs(
         from tpu_euler.pipeline.checkpoint import save_graph
 
         save_graph(save_graph_path, g, chains, cfg.k)
+        del g
 
     t3 = time.perf_counter()
-    contigs = chains_to_contigs_device(g, chains, cfg.k)
+    contigs = chains_to_contigs_device(edge_limbs, chains, cfg.k)
     t["extract"] = time.perf_counter() - t3
-    return contigs, int(cut.n)
+    return contigs, int(n_cut_dev)
 
 
 def assemble_codes(codes_all, cfg: AssemblyConfig) -> AssemblyResult:
