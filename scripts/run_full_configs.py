@@ -113,9 +113,13 @@ def run_config5(genome_bp: int = 100_000_000):
         read_batch=1 << 18,
         read_len=100,
         # ~G distinct k-mers (error-free sim); 1.2x margin. Not a pow2 —
-        # every 134M-row capacity array at k=41 costs 3 limbs + count, and the
+        # every 120M-row capacity array at k=41 costs 3 limbs + count, and the
         # merge transient is the chip's peak allocation (round-3 OOM).
         spectrum_capacity=max(1 << 24, int(1.2 * G)),
+        # n_nodes ~~ E for a connected graph; trimming the node arrays from
+        # 2E to 1.15E saves ~3.3 GB at 220M doubled edges (the pipeline
+        # raises if n_nodes overflows this)
+        node_cap_factor=1.15,
     )
     t0 = time.perf_counter()
     try:
@@ -137,9 +141,17 @@ def run_config5(genome_bp: int = 100_000_000):
     wall = time.perf_counter() - t0
     contigs = list(res.contig_strings)
     ok = len(contigs) == 1 and spells_rotation(contigs[0], genome)
+    try:
+        import jax
+
+        mem = jax.local_devices()[0].memory_stats() or {}
+        peak_gb = round(mem.get("peak_bytes_in_use", 0) / 2**30, 2)
+    except Exception:
+        peak_gb = None
     return {
         "config": f"5 C.elegans-scale FULL {G/1e6:.0f} Mbp 40x k=41 single chip",
         "genome_bp": G,
+        "peak_hbm_gib": peak_gb,
         "reads": res.n_reads,
         "kmers_counted": res.n_kmers_counted,
         "distinct_kmers": res.n_distinct_kmers,

@@ -161,6 +161,122 @@ def simulate_paired_read_codes(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Adversarial genome profiles (VERDICT r3 item 8). Uniform-random genomes have
+# unique k-mers whp, which never stresses repeat resolution, cycle cutting on
+# short periodic cycles, homopolymer self-loops, or hash-owner balance. These
+# seeded generators produce the structures real genomes are full of.
+# ---------------------------------------------------------------------------
+
+
+def tandem_repeat_genome(
+    length: int,
+    unit_len: int = 37,
+    seed: int = 0,
+    mutation_rate: float = 0.0,
+    flank: int = 200,
+) -> str:
+    """Random flanks around a long tandem array of one repeat unit.
+
+    Every k <= unit_len window inside the array occurs ~array/unit_len times:
+    high-multiplicity k-mers and a repeat-collapsed cycle in the graph.
+    ``mutation_rate`` > 0 sprinkles per-copy point mutations so near-identical
+    copies create bubbles.
+    """
+    rng = np.random.default_rng(seed)
+    unit = _BASES[rng.integers(0, 4, unit_len)]
+    n_copies = max(1, (length - 2 * flank) // unit_len)
+    arr = np.tile(unit, n_copies)
+    if mutation_rate > 0.0:
+        mask = rng.random(arr.size) < mutation_rate
+        shift = rng.integers(1, 4, arr.size)
+        lut = np.full(256, 0, np.int64)
+        for i, b in enumerate(b"ACGT"):
+            lut[b] = i
+        codes = lut[arr]
+        arr = np.where(mask, _BASES[(codes + shift) % 4], arr)
+    left = _BASES[rng.integers(0, 4, flank)]
+    right = _BASES[rng.integers(0, 4, max(0, length - 2 * flank - arr.size) + flank)]
+    return bytes(np.concatenate([left, arr, right])[:length]).decode()
+
+
+def homopolymer_genome(
+    length: int, seed: int = 0, run_rate: float = 0.02, max_run: int = 30
+) -> str:
+    """Random genome with injected homopolymer runs (up to ``max_run`` bases).
+
+    Long A/T/G/C runs produce k-mers equal to their own shifted selves —
+    SELF-LOOP edges (prefix == suffix node) and period-1 cycles, the
+    degenerate cases of successor pairing and cycle cutting.
+    """
+    rng = np.random.default_rng(seed)
+    out = np.empty(length + max_run, np.uint8)
+    i = 0
+    while i < length:
+        if rng.random() < run_rate:
+            n = int(rng.integers(5, max_run + 1))
+            out[i : i + n] = _BASES[rng.integers(0, 4)]
+            i += n
+        else:
+            out[i] = _BASES[rng.integers(0, 4)]
+            i += 1
+    return bytes(out[:length]).decode()
+
+
+def skewed_genome(length: int, seed: int = 0, gc: float = 0.8) -> str:
+    """GC-skewed composition (default 80% G+C).
+
+    Skew concentrates k-mers in a small corner of key space — the stress
+    test for scrambled-prefix ownership balance in the distributed exchange
+    (slab overflow/auto-retry) and for sort-segment imbalance.
+    """
+    rng = np.random.default_rng(seed)
+    p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+    return bytes(_BASES[rng.choice(4, size=length, p=p)]).decode()
+
+
+def interspersed_repeat_genome(
+    length: int,
+    seed: int = 0,
+    repeat_len: int = 300,
+    n_copies: int = 6,
+) -> str:
+    """Random backbone with one ``repeat_len`` element pasted at ``n_copies``
+    random non-overlapping loci (transposon-like interspersed repeats).
+
+    Each copy's boundary k-mers create branch nodes where the Eulerian walk
+    must split contigs; the repeat interior collapses to multiplicity
+    ``n_copies``.
+    """
+    rng = np.random.default_rng(seed)
+    g = _BASES[rng.integers(0, 4, length)]
+    elem = _BASES[rng.integers(0, 4, repeat_len)]
+    slots = rng.choice(
+        max(1, (length - repeat_len) // repeat_len), size=min(n_copies, 8),
+        replace=False,
+    ) * repeat_len
+    for s in slots:
+        g[s : s + repeat_len] = elem
+    return bytes(g).decode()
+
+
+def dinucleotide_repeat_genome(
+    length: int, seed: int = 0, array_len: int = 400
+) -> str:
+    """Random genome with a (AC)n microsatellite array in the middle.
+
+    Period-2 repeats make 2-cycles in the de Bruijn graph whose two k-mers
+    are each other's shifts — minimal-length cycles for the deterministic
+    cycle-cutting rule, plus revcomp symmetry ((GT)n on the other strand).
+    """
+    rng = np.random.default_rng(seed)
+    g = _BASES[rng.integers(0, 4, length)]
+    mid = (length - array_len) // 2
+    unit = np.frombuffer(b"AC", dtype=np.uint8)
+    g[mid : mid + array_len] = np.tile(unit, array_len // 2 + 1)[:array_len]
+    return bytes(g).decode()
+
+
 def _add_errors(reads: list[str], rate: float, rng: np.random.Generator) -> list[str]:
     out = []
     for r in reads:
