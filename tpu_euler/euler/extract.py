@@ -184,6 +184,148 @@ def emit_chains_device(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k", "out_capacity", "chain_capacity"))
+def emit_chains_device_spec(
+    spec_limbs: jax.Array,
+    chains: UnitigChains,
+    k: int,
+    out_capacity: int,
+    chain_capacity: int,
+) -> DeviceEmission:
+    """``emit_chains_device`` over the VIRTUAL doubled edge array.
+
+    Never materializes [E, L] edge keys: per-edge last bases come from two
+    sequential column reads of the spectrum (row r < C: its own last base;
+    row r >= C: complement of forward row r-C's FIRST base — the revcomp's
+    last base), and chain-start keys are gathered for the chain_capacity
+    start edges only (scatter the edge id, gather + revcomp the few rows)
+    instead of scattering all E rows.
+    """
+    from tpu_euler.graph.build import gather_edge_rows
+    from tpu_euler.kmer import keys as kk
+
+    C, L = spec_limbs.shape
+    E = 2 * C
+    eid = jnp.arange(E, dtype=jnp.int32)
+    valid = chains.in_chain
+    is_rep = valid & (chains.chain == eid)
+    is_start = valid & (chains.pos == 0)
+
+    contrib = jnp.where(is_rep, chains.length + (k - 1), 0)
+    cs = jnp.cumsum(contrib) - contrib
+    total = cs[-1] + contrib[-1]
+    rank = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
+
+    cid = jnp.clip(chains.chain, 0, E - 1)
+    chain_off = cs[cid]
+
+    out_pos = chain_off + (k - 1) + chains.pos
+    tb = 2 * k - 32 * (L - 1)  # bits used in limb 0
+    fw_last = (spec_limbs[:, L - 1] & jnp.uint32(3)).astype(jnp.uint8)
+    fw_first = (
+        (spec_limbs[:, 0] >> jnp.uint32(tb - 2)) & jnp.uint32(3)
+    ).astype(jnp.uint8)
+    lastb = jnp.concatenate([fw_last, jnp.uint8(3) - fw_first])
+    dest = jnp.where(valid & (out_pos < out_capacity), out_pos, out_capacity)
+    buf = jnp.zeros((out_capacity,), jnp.uint8).at[dest].set(lastb, mode="drop")
+
+    crank_end = jnp.where(is_rep, rank, chain_capacity)
+    chain_off_t = (
+        jnp.zeros((chain_capacity,), jnp.int32).at[crank_end].set(cs, mode="drop")
+    )
+    chain_len_t = (
+        jnp.zeros((chain_capacity,), jnp.int32)
+        .at[crank_end]
+        .set(chains.length + (k - 1), mode="drop")
+    )
+    crank_start = jnp.where(is_start, rank[cid], chain_capacity)
+    start_eid = (
+        jnp.zeros((chain_capacity,), jnp.int32)
+        .at[crank_start]
+        .set(eid, mode="drop")
+    )
+    start_limbs = gather_edge_rows(spec_limbs, start_eid, k)
+    return DeviceEmission(
+        buf=buf,
+        chain_off=chain_off_t,
+        chain_len=chain_len_t,
+        start_limbs=start_limbs,
+        n_chains=jnp.sum(is_rep.astype(jnp.int32)),
+        total=total,
+    )
+
+
+def chains_to_contigs_device_spec(
+    spec_limbs: jax.Array,
+    chains: UnitigChains,
+    k: int,
+    out_capacity: int | None = None,
+    chain_capacity: int | None = None,
+) -> set[bytes]:
+    """Device-scatter emission over the virtual doubled edge array."""
+    E = 2 * spec_limbs.shape[0]
+    out_capacity = out_capacity or E + (k - 1) * max(1024, E >> 4)
+    chain_capacity = chain_capacity or max(1024, E >> 4)
+    em = emit_chains_device_spec(
+        spec_limbs, chains, k, out_capacity, chain_capacity
+    )
+    n_chains = int(em.n_chains)
+    total = int(em.total)
+    if n_chains > chain_capacity or total > out_capacity:
+        global HOST_FALLBACKS
+        if n_chains <= (chain_capacity << 4):
+            log.warning(
+                "device emission capacity exceeded (%d chains > %d or %d "
+                "bytes > %d); retrying device path with exact capacities",
+                n_chains, chain_capacity, total, out_capacity,
+            )
+            g2 = max(1 << 14, 1 << (max(n_chains - 1, 1)).bit_length())
+            g3 = max(1 << 20, 1 << (max(total - 1, 1)).bit_length())
+            return chains_to_contigs_device_spec(spec_limbs, chains, k, g3, g2)
+        HOST_FALLBACKS += 1
+        log.warning(
+            "device emission fell back to the host O(E) path "
+            "(%d chains, %d bytes)", n_chains, total,
+        )
+        from tpu_euler.graph.build import gather_edge_rows
+
+        idx = np.flatnonzero(np.asarray(chains.in_chain))
+        if idx.size == 0:
+            return set()
+        rows = np.asarray(
+            gather_edge_rows(spec_limbs, jnp.asarray(idx, jnp.int32), k)
+        )
+        return assemble_contig_bytes(
+            np.asarray(chains.chain)[idx], np.asarray(chains.pos)[idx], rows, k
+        )
+    if n_chains == 0:
+        return set()
+    return _emission_to_contigs(em, n_chains, total, k)
+
+
+def _emission_to_contigs(
+    em: DeviceEmission, n_chains: int, total: int, k: int
+) -> set[bytes]:
+    """Shared O(output)-transfer tail of the device emission paths."""
+    buf = _pad_slice(em.buf, total)
+    off = _pad_slice(em.chain_off, n_chains, 1 << 14).astype(np.int64)
+    start_limbs = _pad_slice(em.start_limbs, n_chains, 1 << 14)
+    seq = _BASES[buf]
+    # stitch all (k-1)-base chain prefixes with ONE 2-D scatter
+    prefixes = decode_bases_np(start_limbs, k - 1, k)
+    seq[off[:, None] + np.arange(k - 1)[None, :]] = prefixes
+    off_full = np.concatenate([off, [total]])
+    return canonicalize_contig_buffer(seq, off_full)
+
+
+def _pad_slice(arr, n, granule=1 << 20):
+    """D2H slice rounded up to a granule so the eager slice op compiles once,
+    not once per distinct data-dependent length (the axon relay charges ~45s
+    per fresh XLA program)."""
+    m = min(arr.shape[0], -(-n // granule) * granule)
+    return np.asarray(arr[:m])[:n]
+
+
 def chains_to_contigs_device(
     g: DeBruijnGraph | jax.Array,
     chains: UnitigChains,
@@ -224,24 +366,8 @@ def chains_to_contigs_device(
         return chains_to_contigs(edge_limbs, chains, k)  # pathological fragment blowup
     if n_chains == 0:
         return set()
-
-    # O(output) transfers only. Slice sizes are rounded up to a granule so the
-    # eager slice op compiles once, not once per distinct data-dependent length
-    # (the axon relay charges ~45s per fresh XLA program).
-    def _pad_slice(arr, n, granule=1 << 20):
-        m = min(arr.shape[0], -(-n // granule) * granule)
-        return np.asarray(arr[:m])[:n]
-
-    buf = _pad_slice(em.buf, total)
-    off = _pad_slice(em.chain_off, n_chains, 1 << 14).astype(np.int64)
-    lens = _pad_slice(em.chain_len, n_chains, 1 << 14).astype(np.int64)
-    start_limbs = _pad_slice(em.start_limbs, n_chains, 1 << 14)
-    seq = _BASES[buf]
-    # stitch all (k-1)-base chain prefixes with ONE 2-D scatter
-    prefixes = decode_bases_np(start_limbs, k - 1, k)
-    seq[off[:, None] + np.arange(k - 1)[None, :]] = prefixes
-    off_full = np.concatenate([off, [total]])
-    return canonicalize_contig_buffer(seq, off_full)
+    # O(output) transfers only (see _pad_slice / _emission_to_contigs)
+    return _emission_to_contigs(em, n_chains, total, k)
 
 
 def assemble_contig_bytes(

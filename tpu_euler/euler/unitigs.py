@@ -125,10 +125,32 @@ def transition_keys(g: DeBruijnGraph, succ: jax.Array, k: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def cut_cycles_el(
-    edge_limbs: jax.Array, edge_valid: jax.Array, succ: jax.Array, k: int
+def transition_keys_spec(
+    spec_limbs: jax.Array, succ: jax.Array, k: int
+) -> jax.Array:
+    """``transition_keys`` over the VIRTUAL doubled edge array.
+
+    Edge keys are gathered from the spectrum (+ branchless revcomp for the
+    reverse half) instead of a materialized [E, L] array — the memory-lean
+    path for 100 Mbp single-chip scale. Output identical to
+    ``transition_keys_el`` on the materialized array.
+    """
+    from tpu_euler.graph.build import gather_edge_rows
+
+    E = succ.shape[0]
+    SENT = jnp.uint32(0xFFFFFFFF)
+    nb = keys.last_base(gather_edge_rows(spec_limbs, jnp.clip(succ, 0, E - 1), k))
+    self_rows = gather_edge_rows(spec_limbs, jnp.arange(E, dtype=jnp.int32), k)
+    t = keys.append_base(self_rows, nb, k)
+    t, _ = keys.canonical(t, k + 1)
+    return jnp.where((succ >= 0)[:, None], t, SENT)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cut_cycles_from_t(
+    t: jax.Array, edge_valid: jax.Array, succ: jax.Array, k: int
 ) -> tuple[jax.Array, jax.Array]:
-    """Break pure cycles deterministically. Returns (succ_cut, on_cycle).
+    """Break pure cycles deterministically from precomputed transition keys.
 
     Cycle detection and min-transition propagation run in ONE fused doubling
     loop whose per-edge state (pointer + candidate min key) lives in a single
@@ -138,8 +160,6 @@ def cut_cycles_el(
     E = succ.shape[0]
     rounds = _log2_ceil(E) + 1
     SENT = jnp.uint32(0xFFFFFFFF)
-
-    t = transition_keys_el(edge_limbs, succ, k)
 
     # packed state: column 0 = pointer (sentinel = all-ones), columns 1..L = min key
     p0 = jnp.where(succ >= 0, succ.astype(jnp.uint32), SENT)
@@ -160,6 +180,14 @@ def cut_cycles_el(
     is_cut = on_cycle & keys.key_eq(t, S[:, 1:])
     succ_cut = jnp.where(is_cut, -1, succ)
     return succ_cut, on_cycle
+
+
+def cut_cycles_el(
+    edge_limbs: jax.Array, edge_valid: jax.Array, succ: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    return cut_cycles_from_t(
+        transition_keys_el(edge_limbs, succ, k), edge_valid, succ, k
+    )
 
 
 def cut_cycles(
@@ -206,15 +234,24 @@ def _chains_from_rank(
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def _doubling_chains_from_t(
+    t: jax.Array, edge_valid: jax.Array, succ0: jax.Array, k: int
+) -> UnitigChains:
+    """Doubling-path chain computation from precomputed transition keys."""
+    E = succ0.shape[0]
+    rounds = _log2_ceil(E) + 1
+    succ, on_cycle = cut_cycles_from_t(t, edge_valid, succ0, k)
+    d, end_edge = wyllie_rank(succ, rounds)
+    return _chains_from_rank(edge_valid, succ, d, end_edge, on_cycle)
+
+
 def unitig_chains_el(
     edge_limbs: jax.Array, edge_valid: jax.Array, succ0: jax.Array, k: int
 ) -> UnitigChains:
     """Doubling-path chain computation from a precomputed successor array."""
-    E = edge_limbs.shape[0]
-    rounds = _log2_ceil(E) + 1
-    succ, on_cycle = cut_cycles_el(edge_limbs, edge_valid, succ0, k)
-    d, end_edge = wyllie_rank(succ, rounds)
-    return _chains_from_rank(edge_valid, succ, d, end_edge, on_cycle)
+    return _doubling_chains_from_t(
+        transition_keys_el(edge_limbs, succ0, k), edge_valid, succ0, k
+    )
 
 
 def unitig_chains(g: DeBruijnGraph, k: int) -> UnitigChains:
@@ -228,8 +265,8 @@ def _apply_cut(succ0, t, on_cycle, cyc_min):
     return jnp.where(is_cut, -1, succ0), is_cut
 
 
-def chains_from_successors(
-    edge_limbs: jax.Array,
+def chains_from_t(
+    t: jax.Array,
     edge_valid: jax.Array,
     succ0: jax.Array,
     k: int,
@@ -245,32 +282,61 @@ def chains_from_successors(
     to the doubling path for small graphs (fewer programs) and on the ranking
     module's rare overflow returns.
 
-    Takes (edge_limbs, edge_valid, succ0) rather than the graph record so
-    callers at memory-bound scale can free the graph's node arrays (~half
-    its footprint) before this traversal — the successor array is the only
-    thing the walk needs from them.
+    Takes precomputed transition keys + successors rather than the graph
+    record, so callers at memory-bound scale can free the graph's node
+    arrays (~half its footprint) — and the edge-key array itself, when t was
+    computed from the virtual doubled array (``transition_keys_spec``) —
+    before this walk.
     """
     from tpu_euler.euler import ranking
 
-    E = edge_limbs.shape[0]
+    E = succ0.shape[0]
     if E <= min_edges:
-        return unitig_chains_el(edge_limbs, edge_valid, succ0, k)
-    t = transition_keys_el(edge_limbs, succ0, k)
+        return _doubling_chains_from_t(t, edge_valid, succ0, k)
     res = ranking.cycle_min_ruling_tables(succ0, edge_valid, t)
     if res is None:
-        return unitig_chains_el(edge_limbs, edge_valid, succ0, k)
+        return _doubling_chains_from_t(t, edge_valid, succ0, k)
     on_cycle, cyc_min, owner_off, tabs, succ_c = res
     succ, is_cut = _apply_cut(succ0, t, on_cycle, cyc_min)
-    del t
     rr = ranking.rank_chains_with_cut(
         succ, edge_valid, is_cut, owner_off, tabs, succ_c
     )
     if rr is None:
         rr = ranking.rank_chains_ruling(succ, edge_valid)
     if rr is None:
-        return unitig_chains_el(edge_limbs, edge_valid, succ0, k)
+        return _doubling_chains_from_t(t, edge_valid, succ0, k)
+    del t
     d, end_edge = rr
     return _chains_from_rank(edge_valid, succ, d, end_edge, on_cycle)
+
+
+def chains_from_successors(
+    edge_limbs: jax.Array,
+    edge_valid: jax.Array,
+    succ0: jax.Array,
+    k: int,
+    min_edges: int = 1 << 17,
+) -> UnitigChains:
+    """``chains_from_t`` with transition keys from a materialized edge array."""
+    return chains_from_t(
+        transition_keys_el(edge_limbs, succ0, k), edge_valid, succ0, k,
+        min_edges,
+    )
+
+
+def chains_from_successors_spec(
+    spec_limbs: jax.Array,
+    edge_valid: jax.Array,
+    succ0: jax.Array,
+    k: int,
+    min_edges: int = 1 << 17,
+) -> UnitigChains:
+    """``chains_from_t`` over the VIRTUAL doubled edge array (no [E, L]
+    edge-key materialization — the config-5 memory path)."""
+    return chains_from_t(
+        transition_keys_spec(spec_limbs, succ0, k), edge_valid, succ0, k,
+        min_edges,
+    )
 
 
 def unitig_chains_fast(

@@ -20,9 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_euler.config import AssemblyConfig
-from tpu_euler.euler.extract import chains_to_contigs_device
-from tpu_euler.euler.unitigs import unitig_chains_fast
-from tpu_euler.graph.build import DeBruijnGraph, build_graph
+from tpu_euler.euler.extract import chains_to_contigs_device_spec
+from tpu_euler.graph.build import DeBruijnGraph, build_graph, build_graph_staged
 from tpu_euler.io.encode import encode_reads
 from tpu_euler.kmer.count import (
     Spectrum,
@@ -491,7 +490,10 @@ def spectrum_to_contigs(
     bytes) are dropped once the successor array exists — the ruling-set
     walk and emission need only (edge_limbs, edge_valid, succ0).
     """
-    from tpu_euler.euler.unitigs import chains_from_successors, successor
+    from tpu_euler.euler.unitigs import (
+        chains_from_successors_spec,
+        successor,
+    )
 
     t = t if t is not None else {}
     acc = right_size_spectrum(acc)
@@ -519,7 +521,13 @@ def spectrum_to_contigs(
         node_cap = min(
             2 * E, -(-int(cfg.node_cap_factor * E) // granule) * granule
         )
-    g = build_graph(cut, cfg.k, node_cap)
+    # Staged build over the VIRTUAL doubled edge array: the [E, L] edge-key
+    # array never materializes (rows >= C are revcomp(spectrum row) on the
+    # fly), and each build stage's transient peak is bounded — the
+    # difference between fitting and RESOURCE_EXHAUSTED at SPEC config-5
+    # scale (220M doubled edges on a 16 GB chip).
+    g = build_graph_staged(cut, cfg.k, node_cap)
+    spec_limbs = cut.limbs
     n_cut_dev = cut.n  # scalar; fetched at return (no mid-pipeline sync)
     del cut
     if node_cap and node_cap < 2 * E:
@@ -536,10 +544,10 @@ def spectrum_to_contigs(
         _np.asarray(jax.device_get(g.head[0]))
         t["graph_build"] = time.perf_counter() - t2
     succ0 = successor(g, cfg.k)
-    edge_limbs, edge_valid = g.edge_limbs, g.edge_valid
-    if not save_graph_path:
-        del g  # frees tail/head/degree/succ_cand arrays before the walk
-    chains = chains_from_successors(edge_limbs, edge_valid, succ0, cfg.k)
+    edge_valid = g.edge_valid
+    saved_th = (g.tail, g.head) if save_graph_path else None
+    del g  # frees tail/head/degree/succ_cand arrays before the walk
+    chains = chains_from_successors_spec(spec_limbs, edge_valid, succ0, cfg.k)
     del succ0
     jax.block_until_ready(chains)
     if _FINE_TIMERS:
@@ -548,13 +556,24 @@ def spectrum_to_contigs(
         _np.asarray(jax.device_get(chains.chain[0]))
     t["graph"] = time.perf_counter() - t2
     if save_graph_path:
+        import types
+
+        from tpu_euler.graph.build import gather_edge_rows
         from tpu_euler.pipeline.checkpoint import save_graph
 
-        save_graph(save_graph_path, g, chains, cfg.k)
-        del g
+        # save_graph needs edge keys + tail/head; materialize keys from the
+        # spectrum (checkpointing is a small-scale convenience path)
+        gq = types.SimpleNamespace(
+            edge_limbs=gather_edge_rows(
+                spec_limbs, jnp.arange(E, dtype=jnp.int32), cfg.k
+            ),
+            tail=saved_th[0],
+            head=saved_th[1],
+        )
+        save_graph(save_graph_path, gq, chains, cfg.k)
 
     t3 = time.perf_counter()
-    contigs = chains_to_contigs_device(edge_limbs, chains, cfg.k)
+    contigs = chains_to_contigs_device_spec(spec_limbs, chains, cfg.k)
     t["extract"] = time.perf_counter() - t3
     return contigs, int(n_cut_dev)
 
