@@ -132,7 +132,9 @@ def _build_rows(succ2: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.concatenate([succ2.astype(jnp.uint32)[:, None], t], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("track_min", "walk_cap"))
+@functools.partial(
+    jax.jit, static_argnames=("track_min", "walk_cap"), donate_argnums=(0, 3)
+)
 def _walk_round(
     rows: jax.Array,
     frontier: jax.Array,

@@ -359,10 +359,13 @@ def build_graph_staged(
     ops, strands = endpoint_sort_operands(spec.limbs, spec.n, k)
     ops = sort_endpoint_operands(ops)
     edge_valid = _edge_valid_of(spec.n, C)
-    tail, head, n_nodes = endpoint_ids(ops, strands, edge_valid)
-    del strands
+    # degrees BEFORE ids: during the degree stage only the spectrum and
+    # edge_valid persist; during the id stage the degree arrays persist but
+    # the sorted operands die with it — the widest stage never holds
+    # tail/head AND the operands at once.
     outdeg, indeg = endpoint_degrees(ops, node_cap)
-    del ops
+    tail, head, n_nodes = endpoint_ids(ops, strands, edge_valid)
+    del ops, strands
     out_first, succ_cand = succ_tables(tail, edge_valid, indeg, outdeg, node_cap)
     return DeBruijnGraph(
         edge_limbs=None,
