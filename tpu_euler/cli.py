@@ -251,7 +251,9 @@ def _assemble_with_args(args, t0):
         t: dict = {}
         # fetch BEFORE spectrum_to_contigs: it donates the spectrum's buffers
         n_counted = int(spec.counts.sum())
-        contigs, n_cut = spectrum_to_contigs(spec, cfg, t)
+        holder = [spec]
+        del spec
+        contigs, n_cut = spectrum_to_contigs(holder, cfg, t)
         result = AssemblyResult(
             contigs=contigs,
             n_distinct_kmers=n_cut,
@@ -315,7 +317,9 @@ def _assemble_with_args(args, t0):
         acc, n_windows = count_spectrum(codes, cfg, t)
         if args.save_spectrum:
             save_spectrum(args.save_spectrum, acc, cfg.k)
-        contigs, n_cut = spectrum_to_contigs(acc, cfg, t, save_graph_path=args.save_graph)
+        holder = [acc]
+        del acc
+        contigs, n_cut = spectrum_to_contigs(holder, cfg, t, save_graph_path=args.save_graph)
         result = AssemblyResult(
             contigs=contigs,
             n_distinct_kmers=n_cut,
@@ -390,7 +394,9 @@ def _assemble_with_args(args, t0):
     acc, n_windows = count_spectrum(codes, cfg, t)
     if args.save_spectrum:
         save_spectrum(args.save_spectrum, acc, cfg.k)
-    contigs, n_cut = spectrum_to_contigs(acc, cfg, t, save_graph_path=args.save_graph)
+    holder = [acc]
+    del acc
+    contigs, n_cut = spectrum_to_contigs(holder, cfg, t, save_graph_path=args.save_graph)
     result = AssemblyResult(
         contigs=contigs,
         n_distinct_kmers=n_cut,

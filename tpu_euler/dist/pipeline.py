@@ -247,7 +247,9 @@ def assemble_reads_distributed(
         jax.block_until_ready(spec)
         t["gather"] = time.perf_counter() - t2
 
-        contigs, n_cut = spectrum_to_contigs(spec, cfg, t)
+        holder = [spec]
+        del spec
+        contigs, n_cut = spectrum_to_contigs(holder, cfg, t)
 
     log.info(
         "dist-assembled %d reads on %d devices -> %d distinct kmers -> %d contigs",

@@ -311,6 +311,7 @@ def _run_walk(succ, valid, t, track_min, with_self):
     rows = _build_rows(succ2, t)
 
     frontier = _compact_rulers(is_ruler, s_cap)
+    del succ2, is_ruler  # dead once rows + frontier exist (0.9+ GB at scale)
     base = 0
     S_cap = _pow2(2 * s_cap)  # headroom for virtual rulers (~16% expected)
     tabs = _empty_tables(S_cap, L)

@@ -130,19 +130,39 @@ def transition_keys_spec(
 ) -> jax.Array:
     """``transition_keys`` over the VIRTUAL doubled edge array.
 
-    Edge keys are gathered from the spectrum (+ branchless revcomp for the
-    reverse half) instead of a materialized [E, L] array — the memory-lean
-    path for 100 Mbp single-chip scale. Output identical to
-    ``transition_keys_el`` on the materialized array.
+    Edge keys come from the spectrum (+ branchless revcomp for the reverse
+    half) instead of a materialized [E, L] array — the memory-lean path for
+    100 Mbp single-chip scale. Transients are kept C-sized where possible:
+    the successor's last base needs only TWO gathered uint32 columns (its
+    own last limb, or — for reverse rows — the forward row's first limb,
+    complemented), and append+canonicalize run per strand-half before one
+    concat. Output identical to ``transition_keys_el`` on the materialized
+    array.
     """
-    from tpu_euler.graph.build import gather_edge_rows
-
+    C, L = spec_limbs.shape
     E = succ.shape[0]
     SENT = jnp.uint32(0xFFFFFFFF)
-    nb = keys.last_base(gather_edge_rows(spec_limbs, jnp.clip(succ, 0, E - 1), k))
-    self_rows = gather_edge_rows(spec_limbs, jnp.arange(E, dtype=jnp.int32), k)
-    t = keys.append_base(self_rows, nb, k)
-    t, _ = keys.canonical(t, k + 1)
+    # successor's last base via two 1-column gathers (not a [E, L] row gather)
+    sc = jnp.clip(succ, 0, E - 1)
+    is_rev = sc >= C
+    row = jnp.where(is_rev, sc - C, sc)
+    lastl = spec_limbs[row, L - 1]
+    firstl = spec_limbs[row, 0]
+    tb = 2 * k - 32 * (L - 1)  # bits used in limb 0
+    nb = jnp.where(
+        is_rev,
+        jnp.uint32(3) - ((firstl >> jnp.uint32(tb - 2)) & jnp.uint32(3)),
+        lastl & jnp.uint32(3),
+    ).astype(jnp.int32)
+
+    def half(rows_limbs, nb_half):
+        t = keys.append_base(rows_limbs, nb_half, k)
+        t, _ = keys.canonical(t, k + 1)
+        return t
+
+    t_f = half(spec_limbs, nb[:C])
+    t_r = half(keys.revcomp(spec_limbs, k), nb[C:])
+    t = jnp.concatenate([t_f, t_r], axis=0)
     return jnp.where((succ >= 0)[:, None], t, SENT)
 
 
@@ -266,11 +286,12 @@ def _apply_cut(succ0, t, on_cycle, cyc_min):
 
 
 def chains_from_t(
-    t: jax.Array,
+    t: jax.Array | list,
     edge_valid: jax.Array,
     succ0: jax.Array,
     k: int,
     min_edges: int = 1 << 17,
+    t_factory=None,
 ) -> UnitigChains:
     """Chain computation via sparse-ruling-set ranking (euler/ranking.py).
 
@@ -287,9 +308,17 @@ def chains_from_t(
     arrays (~half its footprint) — and the edge-key array itself, when t was
     computed from the virtual doubled array (``transition_keys_spec``) —
     before this walk.
+
+    ``t`` may be passed as a 1-element list (ownership handoff): it is
+    popped here and DELETED right after the cycle cut, freeing its [E, L]
+    bytes (2.6 GB at config-5 scale) before the cut-rank phase; the rare
+    fallback paths then recompute it via ``t_factory``. With a bare array
+    and no factory, t is retained for the fallbacks (old behavior).
     """
     from tpu_euler.euler import ranking
 
+    if isinstance(t, list):
+        t = t.pop()
     E = succ0.shape[0]
     if E <= min_edges:
         return _doubling_chains_from_t(t, edge_valid, succ0, k)
@@ -298,15 +327,20 @@ def chains_from_t(
         return _doubling_chains_from_t(t, edge_valid, succ0, k)
     on_cycle, cyc_min, owner_off, tabs, succ_c = res
     succ, is_cut = _apply_cut(succ0, t, on_cycle, cyc_min)
+    del res, cyc_min  # cyc_min is [E, L]-sized; dead after the cut
+    if t_factory is not None:
+        del t  # freed before the cut-rank phase; fallbacks recompute below
     rr = ranking.rank_chains_with_cut(
         succ, edge_valid, is_cut, owner_off, tabs, succ_c
     )
+    del owner_off, tabs, succ_c, is_cut
     if rr is None:
         rr = ranking.rank_chains_ruling(succ, edge_valid)
     if rr is None:
-        return _doubling_chains_from_t(t, edge_valid, succ0, k)
-    del t
+        t2 = t_factory() if t_factory is not None else t
+        return _doubling_chains_from_t(t2, edge_valid, succ0, k)
     d, end_edge = rr
+    del succ0
     return _chains_from_rank(edge_valid, succ, d, end_edge, on_cycle)
 
 

@@ -348,25 +348,44 @@ def succ_tables(
 
 
 def build_graph_staged(
-    spec: Spectrum, k: int, node_cap: int = 0
+    spec: Spectrum, k: int, node_cap: int = 0, sync: bool = False
 ) -> DeBruijnGraph:
     """Low-memory staged graph build. Bit-identical ids/degrees to
     ``build_graph``; the returned record has ``edge_limbs=None`` (edge keys
-    stay virtual — see ``gather_edge_rows``)."""
+    stay virtual — see ``gather_edge_rows``).
+
+    ``sync`` blocks at stage boundaries: PJRT allocates a computation's
+    output buffers at ENQUEUE time, so without syncs the host running ahead
+    pre-allocates every stage's outputs while the first stage still runs —
+    the sum-of-all-stages peak is exactly what RESOURCE_EXHAUSTs a 16 GB
+    chip at 100 Mbp scale. With syncs the live set is one stage's
+    (inputs + outputs + workspace) at a time. Leave False at bench scale
+    (the syncs cost ~1 relay RTT each)."""
+
+    def _s(x):
+        if sync:
+            jax.block_until_ready(x)
+        return x
+
     C = spec.limbs.shape[0]
     E = 2 * C
     node_cap = node_cap or 2 * E
     ops, strands = endpoint_sort_operands(spec.limbs, spec.n, k)
+    _s(ops)
     ops = sort_endpoint_operands(ops)
+    _s(ops)
     edge_valid = _edge_valid_of(spec.n, C)
     # degrees BEFORE ids: during the degree stage only the spectrum and
     # edge_valid persist; during the id stage the degree arrays persist but
     # the sorted operands die with it — the widest stage never holds
     # tail/head AND the operands at once.
     outdeg, indeg = endpoint_degrees(ops, node_cap)
+    _s(outdeg)
     tail, head, n_nodes = endpoint_ids(ops, strands, edge_valid)
+    _s(tail)
     del ops, strands
     out_first, succ_cand = succ_tables(tail, edge_valid, indeg, outdeg, node_cap)
+    _s(succ_cand)
     return DeBruijnGraph(
         edge_limbs=None,
         edge_valid=edge_valid,

@@ -460,7 +460,7 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
 
 
 def right_size_spectrum(acc: Spectrum, granule: int = 1 << 18) -> Spectrum:
-    """Slice the capacity-padded spectrum down to ~1.1x its live size.
+    """Slice the capacity-padded spectrum down to ~1.06x its live size.
 
     Every downstream array (edges, nodes, doubling-loop state) scales with the
     spectrum's CAPACITY, not its live count — right-sizing before the graph
@@ -469,7 +469,7 @@ def right_size_spectrum(acc: Spectrum, granule: int = 1 << 18) -> Spectrum:
     """
     C = acc.limbs.shape[0]
     n = int(acc.n)
-    cap2 = min(C, max(granule, -(-int(n * 1.1) // granule) * granule))
+    cap2 = min(C, max(granule, -(-int(n * 1.06) // granule) * granule))
     if cap2 >= C:
         return acc
     return Spectrum(acc.limbs[:cap2], acc.counts[:cap2], acc.n)
@@ -496,6 +496,9 @@ def spectrum_to_contigs(
     )
 
     t = t if t is not None else {}
+    if isinstance(acc, list):  # ownership handoff: [spectrum], popped here so
+        acc = acc.pop()  # the caller's frame holds no reference and the
+        # pre-right-size buffers (1.9 GB at config-5 scale) free immediately
     acc = right_size_spectrum(acc)
     if cfg.tip_rounds or cfg.bubble_rounds:
         from tpu_euler.euler.clean import clip_tips, pop_bubbles
@@ -525,8 +528,11 @@ def spectrum_to_contigs(
     # array never materializes (rows >= C are revcomp(spectrum row) on the
     # fly), and each build stage's transient peak is bounded — the
     # difference between fitting and RESOURCE_EXHAUSTED at SPEC config-5
-    # scale (220M doubled edges on a 16 GB chip).
-    g = build_graph_staged(cut, cfg.k, node_cap)
+    # scale (220M doubled edges on a 16 GB chip). ``big`` additionally
+    # syncs at stage boundaries so enqueue-time output allocation cannot
+    # stack multiple stages' buffers (see build_graph_staged docstring).
+    big = E > (1 << 26)
+    g = build_graph_staged(cut, cfg.k, node_cap, sync=big)
     spec_limbs = cut.limbs
     n_cut_dev = cut.n  # scalar; fetched at return (no mid-pipeline sync)
     del cut
@@ -547,7 +553,25 @@ def spectrum_to_contigs(
     edge_valid = g.edge_valid
     saved_th = (g.tail, g.head) if save_graph_path else None
     del g  # frees tail/head/degree/succ_cand arrays before the walk
-    chains = chains_from_successors_spec(spec_limbs, edge_valid, succ0, cfg.k)
+    if big:
+        from tpu_euler.euler.unitigs import chains_from_t, transition_keys_spec
+
+        jax.block_until_ready(succ0)  # drain before the t-key transient
+        t_keys = transition_keys_spec(spec_limbs, succ0, cfg.k)
+        jax.block_until_ready(t_keys)
+        t_holder, succ0_ref = [t_keys], succ0
+        del t_keys
+        chains = chains_from_t(
+            t_holder, edge_valid, succ0_ref, cfg.k,
+            t_factory=lambda: transition_keys_spec(
+                spec_limbs, succ0_ref, cfg.k
+            ),
+        )
+        del succ0_ref
+    else:
+        chains = chains_from_successors_spec(
+            spec_limbs, edge_valid, succ0, cfg.k
+        )
     del succ0
     jax.block_until_ready(chains)
     if _FINE_TIMERS:
@@ -582,7 +606,9 @@ def assemble_codes(codes_all, cfg: AssemblyConfig) -> AssemblyResult:
     """Assemble from a pre-encoded [R, read_len] int8 code matrix."""
     t: dict = {}
     acc, n_windows = count_spectrum(codes_all, cfg, t)
-    contigs, n_cut = spectrum_to_contigs(acc, cfg, t)
+    holder = [acc]  # hand ownership to spectrum_to_contigs (see its docstring)
+    del acc
+    contigs, n_cut = spectrum_to_contigs(holder, cfg, t)
     n_reads = codes_all.shape[0]
     log.info(
         "assembled %d reads -> %d distinct kmers -> %d contigs (%s)",
