@@ -145,9 +145,9 @@ def run_config5(genome_bp: int = 100_000_000):
         import jax
 
         mem = jax.local_devices()[0].memory_stats() or {}
-        peak_gb = round(mem.get("peak_bytes_in_use", 0) / 2**30, 2)
+        peak_gb = round(mem.get("peak_bytes_in_use", 0) / 2**30, 2) or None
     except Exception:
-        peak_gb = None
+        peak_gb = None  # axon relay exposes no memory stats
     return {
         "config": f"5 C.elegans-scale FULL {G/1e6:.0f} Mbp 40x k=41 single chip",
         "genome_bp": G,

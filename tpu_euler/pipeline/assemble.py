@@ -263,6 +263,27 @@ def _n_batches(codes_all, cfg: AssemblyConfig) -> int:
     return max(1, -(-codes_all.shape[0] // cfg.read_batch))
 
 
+# Window counting uses a split hi/lo int32 pair on device: SPEC config 5
+# counts 2.4e9 windows, which overflows a single int32 (x64 is disabled and
+# float32 loses exactness past 2^24). lo stays < 2^30 + batch windows, the
+# carry moves to hi — exact to 2^61 with two cheap device ops per batch.
+_ACC2_MASK = (1 << 30) - 1
+
+
+def _acc2_zero():
+    return (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
+
+@jax.jit
+def _acc2_add(acc, nw):
+    lo = acc[0] + nw
+    return (lo & _ACC2_MASK, acc[1] + (lo >> 30))
+
+
+def _acc2_final(acc) -> int:
+    return (int(acc[1]) << 30) + int(acc[0])
+
+
 def _batch_feed(codes_all, cfg: AssemblyConfig, depth: int = 2):
     """Yield per-batch (packed, nmask) device arrays, prepared ahead of time.
 
@@ -300,7 +321,7 @@ def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
     buf = tuple(
         jnp.full((T,), jnp.uint32(0xFFFFFFFF)) for _ in range(cfg.nlimbs)
     )
-    n_windows = jnp.zeros((), jnp.int32)
+    n_windows = _acc2_zero()
     feed = _batch_feed(codes_all, cfg)
     try:
         for b in range(n_batches):
@@ -308,14 +329,14 @@ def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
             packed, nmask = next(feed)  # wait for the prefetcher ("encode" time)
             t1 = time.perf_counter()
             buf, nw = fill(packed, nmask, buf, jnp.asarray(b * Wb, jnp.int32))
-            n_windows = n_windows + nw
+            n_windows = _acc2_add(n_windows, nw)
             t["encode"] += t1 - t0
             t["count"] += time.perf_counter() - t1
     finally:
         feed.close()
     t1 = time.perf_counter()
     acc, over = oneshot(buf)
-    n_windows = int(n_windows)  # D2H: forces real completion on the axon relay
+    n_windows = _acc2_final(n_windows)  # D2H: forces real completion on the axon relay
     over = bool(over)  # D2H: drains the global sort so count_drain is honest
     t["count_drain"] += time.perf_counter() - t1
     if over:
@@ -346,7 +367,7 @@ def count_spectrum_grouped(codes_all, cfg: AssemblyConfig, t: dict):
     fill = make_extract_fill_step(cfg.k, cfg.read_len)
     oneshot = make_oneshot_count(cfg.k, cfg.spectrum_capacity)
     acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
-    n_windows = jnp.zeros((), jnp.int32)
+    n_windows = _acc2_zero()
     # Deferring the per-group overflow D2H lets group g's sort overlap group
     # g+1's H2D fills — but every deferred group keeps its buffer + sort
     # workspace queued, and at config-5 scale (13 groups of 2.3 GB buffers,
@@ -370,7 +391,7 @@ def count_spectrum_grouped(codes_all, cfg: AssemblyConfig, t: dict):
                 packed, nmask = next(feed)
                 t1 = time.perf_counter()
                 buf, nw = fill(packed, nmask, buf, jnp.asarray(b * Wb, jnp.int32))
-                n_windows = n_windows + nw
+                n_windows = _acc2_add(n_windows, nw)
                 t["encode"] += t1 - t0
                 t["count"] += time.perf_counter() - t1
             t1 = time.perf_counter()
@@ -396,7 +417,7 @@ def count_spectrum_grouped(codes_all, cfg: AssemblyConfig, t: dict):
     finally:
         feed.close()
     t1 = time.perf_counter()
-    n_windows = int(n_windows)
+    n_windows = _acc2_final(n_windows)
     over_any = any(bool(o) for o in overs)  # D2H: drains all group sorts
     t["count_drain"] += time.perf_counter() - t1
     if over_any or spectrum_overflowed(acc):
@@ -431,7 +452,7 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
         return count_spectrum_grouped(codes_all, cfg, t)
     count_step = make_count_step(cfg.k, cfg.read_len)
     acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
-    n_windows = jnp.zeros((), jnp.int32)
+    n_windows = _acc2_zero()
     over = jnp.zeros((), jnp.bool_)
 
     feed = _batch_feed(codes_all, cfg)
@@ -441,7 +462,7 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
             packed, nmask = next(feed)  # prefetcher wait = host encode time
             t1 = time.perf_counter()
             acc, nw, ov = count_step(packed, nmask, acc)
-            n_windows = n_windows + nw
+            n_windows = _acc2_add(n_windows, nw)
             over = over | ov
             t["encode"] += t1 - t0
             t["count"] += time.perf_counter() - t1
@@ -449,7 +470,7 @@ def count_spectrum(codes_all, cfg: AssemblyConfig, t: dict | None = None):
         feed.close()
 
     t1 = time.perf_counter()
-    n_windows = int(n_windows)  # D2H: forces real completion on the axon relay
+    n_windows = _acc2_final(n_windows)  # D2H: forces real completion on the axon relay
     t["count_drain"] = time.perf_counter() - t1  # async dispatch catching up
     if bool(over) or spectrum_overflowed(acc):
         raise RuntimeError(
