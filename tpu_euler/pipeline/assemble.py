@@ -93,7 +93,14 @@ def make_count_step(k: int, read_len: int):
         over = n > C
         return Spectrum(uniq[:C], counts[:C], jnp.minimum(n, C)), n_windows, over
 
-    return step
+    def dispatch(packed, nmask, acc):
+        if nmask is None:  # clean batch: rebuild the zero bitmap on device
+            nmask = jnp.zeros(
+                (packed.shape[0], -(-read_len // 8)), jnp.uint8
+            )
+        return step(packed, nmask, acc)
+
+    return dispatch
 
 
 @functools.lru_cache(maxsize=None)
@@ -157,11 +164,10 @@ def make_extract_fill_step(k: int, read_len: int):
     1.65x the XLA window-pack — PERF.md "Pallas A/B"); the XLA path elsewhere.
     """
     assert k % 16 != 0  # sentinel encoding requires spare bits in limb 0
+    from tpu_euler.kmer.extract import unpack_codes_clean
     from tpu_euler.kmer.pallas_extract import extract_canonical_auto
 
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def step(packed: jax.Array, nmask: jax.Array, buf: tuple, start: jax.Array):
-        codes = unpack_codes(packed, nmask, read_len)
+    def _core(codes, buf, start):
         limbs, valid = extract_canonical_auto(codes, k)
         limbs = jnp.where(valid[:, None], limbs, jnp.uint32(0xFFFFFFFF))
         buf = tuple(
@@ -170,7 +176,22 @@ def make_extract_fill_step(k: int, read_len: int):
         )
         return buf, jnp.sum(valid.astype(jnp.int32))
 
-    return step
+    @functools.partial(jax.jit, donate_argnums=(2,))
+    def step(packed: jax.Array, nmask: jax.Array, buf: tuple, start: jax.Array):
+        return _core(unpack_codes(packed, nmask, read_len), buf, start)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step_clean(packed: jax.Array, buf: tuple, start: jax.Array):
+        return _core(unpack_codes_clean(packed, read_len), buf, start)
+
+    def dispatch(packed, nmask, buf, start):
+        # nmask None = clean batch (no N, no padding): the zero bitmap is
+        # neither shipped over the relay nor unpacked on device
+        if nmask is None:
+            return step_clean(packed, buf, start)
+        return step(packed, nmask, buf, start)
+
+    return dispatch
 
 
 @functools.lru_cache(maxsize=None)
@@ -248,12 +269,15 @@ def _pack_batch(batch, cfg: AssemblyConfig):
     from tpu_euler.io.encode import pack_codes
 
     batch = np.asarray(batch)
-    if batch.shape[0] < cfg.read_batch:  # pad final batch to static shape
+    padded = batch.shape[0] < cfg.read_batch
+    if padded:  # pad final batch to static shape
         pad = np.full(
             (cfg.read_batch - batch.shape[0], cfg.read_len), 4, np.int8
         )
         batch = np.concatenate([batch, pad], axis=0)
     packed, nmask = pack_codes(batch)
+    if not padded and not nmask.any():
+        return jnp.asarray(packed), None  # clean batch: skip the bitmap H2D
     return jnp.asarray(packed), jnp.asarray(nmask)
 
 
