@@ -90,7 +90,17 @@ def bucket_gather(sa, sb, starts, chunk: int, bucket_bits: int):
     lens = (ends - starts).T.reshape(-1)  # [nb*G] bucket-major
     run_off = jnp.cumsum(lens) - lens  # output start of each run
     j = jnp.arange(Tn, dtype=jnp.int32)
-    rid = jnp.searchsorted(run_off, j, side="right").astype(jnp.int32) - 1
+    # run id per output row WITHOUT searchsorted (whose broadcasted-compare
+    # temp OOMs at 165M queries): scatter each run's id at its start offset
+    # (max keeps the last of empty-run ties, matching side="right"-1), then
+    # a cumulative max fills the gaps — one O(T) int32 pass.
+    nruns = lens.shape[0]
+    marks = (
+        jnp.zeros((Tn,), jnp.int32)
+        .at[jnp.where(run_off < Tn, run_off, Tn)]
+        .max(jnp.arange(nruns, dtype=jnp.int32), mode="drop")
+    )
+    rid = jax.lax.cummax(marks)
     g = rid % G
     Bk = rid // G
     src = g * chunk + starts[g, Bk] + (j - run_off[rid])
