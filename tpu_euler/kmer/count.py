@@ -153,6 +153,7 @@ def merge_spectra_lean(acc: Spectrum, batch: Spectrum, *, k: int) -> Spectrum:
     assert math.ceil(k / 16) == acc.limbs.shape[1], (k, acc.limbs.shape)
     C = acc.limbs.shape[0]
     L = acc.limbs.shape[1]
+    M = C + batch.limbs.shape[0]
     iota_a = jnp.arange(C, dtype=jnp.int32)
     iota_b = jnp.arange(batch.limbs.shape[0], dtype=jnp.int32)
     SENT = jnp.uint32(0xFFFFFFFF)
@@ -162,16 +163,38 @@ def merge_spectra_lean(acc: Spectrum, batch: Spectrum, *, k: int) -> Spectrum:
     counts = jnp.concatenate([acc.counts, batch.counts])
     ops = [limbs[:, j] for j in range(L)] + [counts.astype(jnp.uint32)]
     out = jax.lax.sort(ops, num_keys=L, is_stable=False)
-    sl = jnp.stack(out[:L], axis=-1)
-    sc = out[L].astype(jnp.int32)
     sv = out[0] != SENT
-    prev = jnp.roll(sl, 1, axis=0)
-    is_new = (jnp.any(sl != prev, axis=-1)).at[0].set(True) & sv
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    is_new = jnp.zeros((M,), jnp.bool_)
+    for j in range(L):
+        is_new = is_new | (out[j] != jnp.roll(out[j], 1))
+    is_new = is_new.at[0].set(True) & sv
     n = jnp.sum(is_new.astype(jnp.int32))
-    dest = jnp.where(sv & (seg < C), seg, C)
-    ucounts = jnp.zeros((C,), jnp.int32).at[dest].add(sc, mode="drop")
-    uniq = jnp.zeros((C, L), jnp.uint32).at[
-        jnp.where(is_new & (seg < C), seg, C)
-    ].set(sl, mode="drop")
+    n_valid = jnp.sum(sv.astype(jnp.int32))
+    # Compaction by a SECOND 1-operand sort instead of segment scatters: the
+    # scatter version cost ~12 s/group at config-5 scale (two transactional
+    # 2C-row scatters, the [C, L] row-set worst); the composite-key sort +
+    # capacity-sized gathers run at sequential-traffic speed (same trick as
+    # the one-shot reduce, measured there: 0.4 s sort vs 1.1 s scatter).
+    iota = jnp.arange(M, dtype=jnp.uint32)
+    comp = jnp.where(is_new, iota, iota + jnp.uint32(M))
+    (comp_sorted,) = jax.lax.sort([comp], num_keys=1)
+    m2 = min(C + 1, M)
+    b2 = comp_sorted[:m2]  # first n entries = segment-start rows, in order
+    live_b = (jnp.arange(m2, dtype=jnp.int32) < n) & (b2 < jnp.uint32(M))
+    sb = jnp.where(live_b, b2.astype(jnp.int32), n_valid)
+    if m2 < C + 1:  # tiny-capacity edge: pad the bounds row
+        sb = jnp.concatenate([sb, jnp.full((C + 1 - m2,), n_valid, jnp.int32)])
+    start_i = sb[:C]
+    ends = sb[1:]
+    # segment count sums as prefix-sum differences; uint32 wrap-around is
+    # exact mod 2^32 and every true segment sum fits int32
+    P = jnp.concatenate(
+        [jnp.zeros((1,), jnp.uint32), jnp.cumsum(jnp.where(sv, out[L], 0))]
+    )
+    live = jnp.arange(C, dtype=jnp.int32) < n
+    ucounts = jnp.where(live, (P[ends] - P[start_i]).astype(jnp.int32), 0)
+    src = jnp.clip(start_i, 0, M - 1)
+    uniq = jnp.stack(
+        [jnp.where(live, out[j][src], 0) for j in range(L)], axis=-1
+    )
     return Spectrum(uniq, ucounts, jnp.minimum(n, C))

@@ -394,10 +394,13 @@ def count_spectrum_grouped(codes_all, cfg: AssemblyConfig, t: dict):
     n_windows = _acc2_zero()
     # Deferring the per-group overflow D2H lets group g's sort overlap group
     # g+1's H2D fills — but every deferred group keeps its buffer + sort
-    # workspace queued, and at config-5 scale (13 groups of 2.3 GB buffers,
-    # 134M-capacity merges) that RESOURCE_EXHAUSTED a 16 GB chip. Guard: only
-    # defer for small group counts; sync per group beyond that so at most one
-    # group's transient workspace is live at a time.
+    # workspace queued, and at config-5 scale that RESOURCE_EXHAUSTED a
+    # 16 GB chip (round 3). Guard: only defer for small group counts; sync
+    # per group beyond that so at most one group's transient workspace is
+    # live at a time. A lag-1 middle ground (fills of g+1 enqueued before
+    # draining g) was MEASURED AND REVERTED in round 4: the higher memory
+    # pressure stalled the backend far beyond the ~5-7 s/group of H2D it
+    # hid (config-5 drain 423 s -> 1226 s; PERF.md round 4).
     defer_sync = n_groups <= 4
     overs = []
     feed = _batch_feed(codes_all, cfg)
