@@ -53,6 +53,40 @@ def main() -> int:
         spectrum_capacity=1 << 23,
     )
 
+    # Self-diagnosis (VERDICT r4 item 4): a fixed-size relay-throughput probe
+    # before each repetition + wall timestamps + compilation-cache file deltas,
+    # so a capture whose drain swings 2x can attribute it to relay state
+    # (probe slow too) vs a repo-side cause (probe steady, drain not).
+    import glob
+    import os
+
+    import jax
+
+    probe_host = np.arange(1 << 26, dtype=np.uint8)  # 64 MiB
+
+    def relay_probe():
+        t0 = time.perf_counter()
+        d = jax.device_put(probe_host)
+        np.asarray(jax.device_get(d[-1:]))  # completion fence
+        h2d_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(jax.device_get(d))
+        d2h_s = time.perf_counter() - t0
+        del d
+        mb = probe_host.nbytes / 2**20
+        return {
+            "h2d_mb_s": round(mb / h2d_s, 1),
+            "d2h_mb_s": round(mb / d2h_s, 1),
+        }
+
+    cache_dir = jax.config.jax_compilation_cache_dir or ".jax_cache"
+
+    def cache_files() -> int:
+        try:
+            return len(glob.glob(os.path.join(cache_dir, "*")))
+        except OSError:
+            return -1
+
     # Warm-up on the FULL dataset: the graph stage right-sizes its arrays from
     # the live key count, so only a full-size run compiles the exact shapes the
     # timed run uses (a slice would right-size differently). The timed runs then
@@ -64,10 +98,21 @@ def main() -> int:
     # axon TCP relay have swung ~15% between captures (VERDICT r2 weak #1);
     # the run list lets any two captures be reconciled against stated variance.
     runs = []
+    diags = []
     for _ in range(3):
+        probe = relay_probe()
+        c0 = cache_files()
+        stamp = time.time()
         t0 = time.perf_counter()
         result = assemble_codes(codes, cfg)
         wall = time.perf_counter() - t0
+        diags.append(
+            {
+                "probe": probe,
+                "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(stamp)),
+                "new_cache_files": cache_files() - c0,
+            }
+        )
         runs.append((wall, result))
 
     contigs = list(runs[-1][1].contigs)
@@ -110,8 +155,9 @@ def main() -> int:
                                 k: round(v, 3)
                                 for k, v in r.stage_seconds.items()
                             },
+                            **d,
                         }
-                        for w, r in runs
+                        for (w, r), d in zip(runs, diags)
                     ],
                     "reads": result.n_reads,
                     "kmers_counted": result.n_kmers_counted,

@@ -69,7 +69,14 @@ def assemble_reads_distributed(
     c_dest = int(dest_capacity_factor * windows / n_dev + 256)
     c_local = cfg.spectrum_capacity // n_dev
 
-    count_step = make_dist_count_step(cfg.k, n_dev, c_dest, mesh)
+    # Grouped one-shot counting (VERDICT r4 item 3): buffer received keys per
+    # device across `bpg` batches, sort ONCE per group, lean-merge locally —
+    # the per-batch (capacity + slab)-row merge sort the single-chip path
+    # measured-and-retired in round 1 leaves the hot loop. Requires the
+    # k % 16 != 0 sentinel guarantee (same gate as single-chip one-shot).
+    use_grouped = bool(cfg.oneshot_rows) and cfg.k % 16 != 0
+    if not use_grouped:
+        count_step = make_dist_count_step(cfg.k, n_dev, c_dest, mesh)
     gather_step = make_gather_spectrum(min(cfg.spectrum_capacity, n_dev * c_local), mesh)
     sharding = batch_sharding(mesh)
 
@@ -110,6 +117,25 @@ def assemble_reads_distributed(
         my_rows = step_rows
         n_steps = max(1, -(-total // step_rows))
         n_reads_global = total
+    if use_grouped:
+        from tpu_euler.dist.count_dist import (
+            make_buf_alloc,
+            make_dist_drain_step,
+            make_dist_fill_step,
+        )
+
+        slab_rows = n_dev * c_dest  # rows received per device per step
+        # steps per group: bounded by oneshot_rows per device AND by the
+        # actual step count (a small run buffers everything in one group)
+        bpg = max(1, min(n_steps, cfg.oneshot_rows // slab_rows))
+        t_loc = bpg * slab_rows
+        fill_step = make_dist_fill_step(cfg.k, n_dev, c_dest, mesh)
+        drain_step = make_dist_drain_step(cfg.k, c_local, mesh)
+        alloc_buf = make_buf_alloc(n_dev * t_loc, cfg.nlimbs, mesh)
+        al, ac, an, dropped_arr = acc.limbs, acc.counts, acc.n, acc.dropped
+        buf = alloc_buf()
+        b_in_group = 0
+        overs = []
     for s in range(n_steps):
         i = s * my_rows
         t0 = time.perf_counter()
@@ -132,16 +158,38 @@ def assemble_reads_distributed(
         else:
             cbatch = jax.device_put(cbatch, sharding)
         t1 = time.perf_counter()
-        acc, nw = count_step(cbatch, acc)
+        if use_grouped:
+            start = np.int32(b_in_group * slab_rows)
+            buf, dropped_arr, nw = fill_step(cbatch, buf, start, dropped_arr)
+            b_in_group += 1
+            if b_in_group == bpg or s == n_steps - 1:
+                al, ac, an, over = drain_step(buf, al, ac, an)
+                overs.append(over)
+                b_in_group = 0
+                buf = alloc_buf() if s != n_steps - 1 else None
+        else:
+            acc, nw = count_step(cbatch, acc)
         n_windows_parts.append(nw)
         t["encode"] += t1 - t0
         t["count"] += time.perf_counter() - t1
 
+    t1 = time.perf_counter()
+    if use_grouped:
+        acc = DistSpectrum(limbs=al, counts=ac, n=an, dropped=dropped_arr)
+        if sum(int(fetch_global(o).sum()) for o in overs):
+            raise RuntimeError(
+                f"a spectrum shard overflowed its group-drain capacity "
+                f"{c_local}: raise AssemblyConfig.spectrum_capacity"
+            )
     jax.block_until_ready(acc)
     if local_input:
         n_reads = n_reads_global
     n_windows = sum(int(fetch_global(nw)[0]) for nw in n_windows_parts)
     dropped = int(fetch_global(acc.dropped).sum())
+    # async dispatch catching up: the real counting cost surfaces at these
+    # D2H fetches, not in the per-step dispatch timers (same split as the
+    # single-chip pipeline's count vs count_drain)
+    t["count_drain"] = time.perf_counter() - t1
     if dropped:
         raise RuntimeError(
             f"{dropped} k-mers dropped in all_to_all exchange: raise "

@@ -131,6 +131,12 @@ def _canon_endpoint_parts(fwd: jax.Array, valid: jax.Array, k: int):
     """
     assert 2 * (k - 1) - 32 * (keys.nlimbs(k) - 1) < 32, "odd k required"
     C = fwd.shape[0]
+    # payload packs the row position into 30 bits (strand bit 30, pal bit 31):
+    # fail loudly rather than silently corrupt ids past 2^30 endpoint rows
+    # (config 5 is ~240M rows; the next scale step needs a wider payload limb)
+    assert 2 * C < 1 << 30, (
+        f"endpoint payload packs row ids into 30 bits; 2C={2 * C} overflows"
+    )
     pre = keys.prefix(fwd, k)
     suf = keys.suffix(fwd, k)
 

@@ -129,6 +129,50 @@ def spectrum_overflowed(spec: Spectrum) -> bool:
     return int(spec.n) >= spec.limbs.shape[0]
 
 
+def oneshot_reduce(s: tuple, capacity: int) -> tuple[Spectrum, jax.Array]:
+    """Dedup + count a SORTED tuple of per-limb key arrays (sentinel = invalid).
+
+    Shared reduce body of the one-shot counting path (single-chip
+    ``make_oneshot_count`` and the distributed grouped drain): segment starts
+    found by adjacent-difference, compacted via a 1-operand composite-key sort
+    (cheaper than scatter at scale — see make_oneshot_count's docstring),
+    counts as adjacent differences of segment-start rows. Returns
+    (capacity-sized Spectrum, overflowed flag).
+    """
+    L = len(s)
+    T = s[0].shape[0]
+    # the composite compaction key is iota + T for non-starts (uint32):
+    # T >= 2^31 would wrap it into the segment-start range and silently
+    # corrupt the dedup (SURVEY section 7 capacity bounds / VERDICT r4 item 8)
+    assert T < 1 << 31, f"oneshot_reduce buffer {T} rows >= 2^31: split groups"
+    sv = s[0] != jnp.uint32(0xFFFFFFFF)
+    is_new = jnp.zeros((T,), jnp.bool_)
+    for j in range(L):
+        is_new = is_new | (s[j] != jnp.roll(s[j], 1))
+    is_new = is_new.at[0].set(True) & sv
+    n = jnp.sum(is_new.astype(jnp.int32))
+    n_valid = jnp.sum(sv.astype(jnp.int32))
+    iota = jnp.arange(T, dtype=jnp.uint32)
+    comp = jnp.where(is_new, iota, iota + jnp.uint32(T))
+    (comp_sorted,) = jax.lax.sort([comp], num_keys=1)
+    m = min(capacity, T)
+    b = comp_sorted[:m]  # first n entries = segment-start rows
+    live_m = b < jnp.uint32(T)
+    bfull = jnp.full((capacity,), n_valid, jnp.int32)
+    bfull = jax.lax.dynamic_update_slice(
+        bfull, jnp.where(live_m, b.astype(jnp.int32), n_valid), (0,)
+    )
+    live = jnp.arange(capacity, dtype=jnp.int32) < n
+    bounds = jnp.concatenate([bfull, n_valid[None]])
+    counts = bounds[1:] - bounds[:-1]
+    src = jnp.clip(bounds[:capacity], 0, T - 1)
+    uniq = jnp.stack(
+        [jnp.where(live, s[j][src], 0) for j in range(L)], axis=-1
+    )
+    counts = jnp.where(live, counts, 0)
+    return Spectrum(uniq, counts, jnp.minimum(n, capacity)), n > capacity
+
+
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
 def merge_spectra_lean(acc: Spectrum, batch: Spectrum, *, k: int) -> Spectrum:
     """Memory-lean sorted-spectrum merge for k % 16 != 0 (sentinel-safe keys).
@@ -151,7 +195,23 @@ def merge_spectra_lean(acc: Spectrum, batch: Spectrum, *, k: int) -> Spectrum:
         f"got k={k} — use merge_spectra instead"
     )
     assert math.ceil(k / 16) == acc.limbs.shape[1], (k, acc.limbs.shape)
+    return merge_lean_body(acc, batch, k)
+
+
+def merge_lean_body(acc: Spectrum, batch: Spectrum, k: int) -> Spectrum:
+    """Traceable body of ``merge_spectra_lean`` — also called per-device
+    inside the distributed grouped drain's shard_map (count_dist.py), where
+    an outer jit owns donation. Callers must enforce k % 16 != 0.
+
+    Count bound: per-segment sums come from uint32 prefix-sum differences
+    cast to int32 — exact while every merged k-mer count stays < 2^31
+    (a 2-billion-deep single k-mer; ~26 Tbp of reads of one motif). Beyond
+    that the count wraps negative; cutoff would then drop the k-mer, which
+    fails loudly downstream (missing edge) rather than corrupting silently."""
     C = acc.limbs.shape[0]
+    assert C + batch.limbs.shape[0] < 1 << 31, (
+        "merge compaction key wraps uint32 past 2^31 rows"
+    )
     L = acc.limbs.shape[1]
     M = C + batch.limbs.shape[0]
     iota_a = jnp.arange(C, dtype=jnp.int32)

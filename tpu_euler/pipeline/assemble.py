@@ -223,39 +223,111 @@ def make_oneshot_count(k: int, capacity: int):
 
     @jax.jit
     def reduce_step(s: tuple):
-        L = len(s)
-        T = s[0].shape[0]
-        sv = s[0] != jnp.uint32(0xFFFFFFFF)
-        is_new = jnp.zeros((T,), jnp.bool_)
-        for j in range(L):
-            is_new = is_new | (s[j] != jnp.roll(s[j], 1))
-        is_new = is_new.at[0].set(True) & sv
-        n = jnp.sum(is_new.astype(jnp.int32))
-        n_valid = jnp.sum(sv.astype(jnp.int32))
-        iota = jnp.arange(T, dtype=jnp.uint32)
-        comp = jnp.where(is_new, iota, iota + jnp.uint32(T))
-        (comp_sorted,) = jax.lax.sort([comp], num_keys=1)
-        m = min(capacity, T)
-        b = comp_sorted[:m]  # first n entries = segment-start rows
-        live_m = b < jnp.uint32(T)
-        bfull = jnp.full((capacity,), n_valid, jnp.int32)
-        bfull = jax.lax.dynamic_update_slice(
-            bfull, jnp.where(live_m, b.astype(jnp.int32), n_valid), (0,)
-        )
-        live = jnp.arange(capacity, dtype=jnp.int32) < n
-        bounds = jnp.concatenate([bfull, n_valid[None]])
-        counts = bounds[1:] - bounds[:-1]
-        src = jnp.clip(bounds[:capacity], 0, T - 1)
-        uniq = jnp.stack(
-            [jnp.where(live, s[j][src], 0) for j in range(L)], axis=-1
-        )
-        counts = jnp.where(live, counts, 0)
-        return Spectrum(uniq, counts, jnp.minimum(n, capacity)), n > capacity
+        from tpu_euler.kmer.count import oneshot_reduce
+
+        return oneshot_reduce(s, capacity)
 
     def count(buf: tuple):
         return reduce_step(sort_step(buf))
 
     return count
+
+
+@functools.lru_cache(maxsize=None)
+def make_arena_drain(k: int, capacity: int, t_rows: int):
+    """Grouped-counting ARENA drain: merge T raw keys into the C-row head.
+
+    Round-5 redesign of the grouped drain, driven by on-chip measurement
+    (scripts/drain5_micro.json): at config-5 scale the old
+    sort+reduce+lean-merge chain cost 1.4 s + 8.6 s + 15.2 s per group, and
+    the 8.6/15.2 s terms were CAPACITY-SIZED GATHERS (~69 ns/row transaction
+    cost — the same hardware ceiling bucketcount_results.json measured),
+    not the sorts. This drain eliminates every capacity-sized gather:
+
+    * The accumulator spectrum lives in rows [0, C) of a persistent
+      [C + T]-row arena (per-limb uint32 arrays + one uint32 count array);
+      group fills write raw keys into rows [C, C + T) with sentinel padding.
+    * Drain sort 1: ONE (L+1)-operand key sort of the whole arena (acc rows
+      carry their counts; raw rows weight 1). Dup keys are now adjacent.
+    * Drain sort 2: composite-key compaction sort carrying limbs AND the
+      exclusive count prefix-sum as payload — segment starts land in rows
+      [0, n) IN ORDER, so uniques come out as SLICES and per-key counts as
+      adjacent differences of the carried prefix sums. No gather anywhere.
+    * The arena is donated: in/out shapes match exactly, so XLA aliases the
+      buffers and the merge runs with no extra residency.
+
+    uint32 prefix sums wrap mod 2^32; adjacent differences stay exact while
+    every single k-mer's total count < 2^31 (see merge_spectra_lean's note).
+
+    Returns jit: (limb_arena tuple, count_arena) -> (limb_arena', count_arena',
+    n_distinct, overflowed).
+    """
+    assert k % 16 != 0, "arena drain needs the sentinel-safe limb-0 guarantee"
+    C, T = capacity, t_rows
+    M = C + T
+    assert M < 1 << 31, f"arena {M} rows >= 2^31: composite key would wrap"
+    SENT = jnp.uint32(0xFFFFFFFF)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def drain(bufs: tuple, counts_a: jax.Array):
+        L = len(bufs)
+        iota_m = jnp.arange(M, dtype=jnp.uint32)
+        w_in = jnp.where(iota_m < C, counts_a, jnp.uint32(1))
+        out = jax.lax.sort(
+            list(bufs) + [w_in], num_keys=L, is_stable=False
+        )
+        sv = out[0] != SENT
+        is_new = jnp.zeros((M,), jnp.bool_)
+        for j in range(L):
+            is_new = is_new | (out[j] != jnp.roll(out[j], 1))
+        is_new = is_new.at[0].set(True) & sv
+        n = jnp.sum(is_new.astype(jnp.int32))
+        w = jnp.where(sv, out[L], jnp.uint32(0))
+        pcs = jnp.cumsum(w)  # inclusive; wraps mod 2^32, diffs exact
+        ecs = pcs - w  # exclusive prefix at each row
+        total = pcs[M - 1]
+        comp = jnp.where(is_new, iota_m, iota_m + jnp.uint32(M))
+        out2 = jax.lax.sort(
+            [comp] + [out[j] for j in range(L)] + [ecs], num_keys=1
+        )
+        iota_c = jnp.arange(C, dtype=jnp.int32)
+        live = iota_c < n
+        es = out2[L + 1][: C + 1]
+        # segment i's count = ecs(start i+1) - ecs(start i); the LAST live
+        # segment ends at the all-valid total, not at the next sorted row
+        # (which is the first non-start)
+        e1 = jnp.where(iota_c == n - 1, total, es[1:])
+        counts_u = jnp.where(live, (e1 - es[:C]).astype(jnp.int32), 0)
+        # rebuild the arena: compacted uniques in rows [0, n), everything
+        # else (incl. the whole fill region) reset to sentinel / zero
+        new_bufs = tuple(
+            jnp.where(iota_m < n.astype(jnp.uint32), out2[1 + j], SENT)
+            for j in range(L)
+        )
+        new_counts = jnp.concatenate(
+            [counts_u.astype(jnp.uint32), jnp.zeros((T,), jnp.uint32)]
+        )
+        return new_bufs, new_counts, n, n > C
+
+    return drain
+
+
+@functools.lru_cache(maxsize=None)
+def make_arena_finalize(capacity: int):
+    """Slice the arena head into a standard [C, L] Spectrum (one jit)."""
+
+    @jax.jit  # no donation: [C]-shaped outputs cannot alias the [C+T] arena
+    def finalize(bufs: tuple, counts_a: jax.Array) -> Spectrum:
+        C = capacity
+        SENT = jnp.uint32(0xFFFFFFFF)
+        valid = bufs[0][:C] != SENT
+        limbs = jnp.stack(
+            [jnp.where(valid, b[:C], 0) for b in bufs], axis=-1
+        )
+        counts = jnp.where(valid, counts_a[:C].astype(jnp.int32), 0)
+        return Spectrum(limbs, counts, jnp.sum(valid.astype(jnp.int32)))
+
+    return finalize
 
 
 def _pack_batch(batch, cfg: AssemblyConfig):
@@ -372,78 +444,76 @@ def count_spectrum_oneshot(codes_all, cfg: AssemblyConfig, t: dict):
 
 
 def count_spectrum_grouped(codes_all, cfg: AssemblyConfig, t: dict):
-    """Hierarchical streaming: one-shot-sort GROUPS of batches, merge spectra.
+    """Hierarchical streaming: fill GROUPS of raw keys into a persistent
+    arena whose head holds the accumulated spectrum; one two-sort drain per
+    group merges raw keys AND dedups in place (``make_arena_drain``).
 
     For runs whose total windows exceed ``oneshot_rows`` (SPEC config 5:
-    100 Mbp x 40x = 2.4G windows), buffering ~oneshot_rows raw keys per group
-    and sorting each group ONCE costs one group-sized sort + one
-    capacity-scale sorted merge per group — several times less sort volume
-    than the legacy per-batch raw merge (one capacity+windows sort per
-    batch), while holding device memory at the same oneshot_rows bound.
+    100 Mbp x 40x = 2.4G windows), this costs one (L+1)-operand key sort +
+    one compaction sort over C+T rows per group — with NO capacity-sized
+    gathers or scatters anywhere. The round-4 sort+reduce+lean-merge chain
+    measured 25.2 s/group at config-5 shapes of which ~20 s was gather
+    transactions (scripts/drain5_micro.json); the arena drain replaces all
+    of it with sequential-traffic sorts.
     """
-    from tpu_euler.kmer.count import merge_spectra_lean
-
     Wb = cfg.read_batch * cfg.windows_per_read
     n_batches = _n_batches(codes_all, cfg)
     bpg = max(1, cfg.oneshot_rows // Wb)  # batches per group
     T = bpg * Wb
+    C = cfg.spectrum_capacity
+    M = C + T
     n_groups = -(-n_batches // bpg)
     fill = make_extract_fill_step(cfg.k, cfg.read_len)
-    oneshot = make_oneshot_count(cfg.k, cfg.spectrum_capacity)
-    acc = empty_spectrum(cfg.spectrum_capacity, cfg.nlimbs)
+    drain = make_arena_drain(cfg.k, C, T)
     n_windows = _acc2_zero()
-    # Deferring the per-group overflow D2H lets group g's sort overlap group
-    # g+1's H2D fills — but every deferred group keeps its buffer + sort
-    # workspace queued, and at config-5 scale that RESOURCE_EXHAUSTED a
-    # 16 GB chip (round 3). Guard: only defer for small group counts; sync
-    # per group beyond that so at most one group's transient workspace is
-    # live at a time. A lag-1 middle ground (fills of g+1 enqueued before
-    # draining g) was MEASURED AND REVERTED in round 4: the higher memory
-    # pressure stalled the backend far beyond the ~5-7 s/group of H2D it
-    # hid (config-5 drain 423 s -> 1226 s; PERF.md round 4).
+    # Per-group sync policy (round-3/4 lesson): deferring group g's drain
+    # D2H lets g+1's H2D overlap it, but every deferred group keeps its
+    # sort workspace queued and at config-5 scale that RESOURCE_EXHAUSTED
+    # a 16 GB chip. Defer only for small group counts; whole-group lag-1
+    # overlap was measured-and-reverted in round 4 (drain 423 -> 1226 s).
     defer_sync = n_groups <= 4
     overs = []
+    bufs = tuple(jnp.full((M,), jnp.uint32(0xFFFFFFFF)) for _ in range(cfg.nlimbs))
+    counts_a = jnp.zeros((M,), jnp.uint32)
     feed = _batch_feed(codes_all, cfg)
     try:
         for g0 in range(0, n_batches, bpg):
+            gi = g0 // bpg
             nb = min(bpg, n_batches - g0)
-            # fresh sentinel buffer per group (a short final group leaves its
-            # tail all-sentinel, which sorts to the end as invalid)
-            buf = tuple(
-                jnp.full((T,), jnp.uint32(0xFFFFFFFF))
-                for _ in range(cfg.nlimbs)
-            )
+            h2d_bytes = 0
+            t1 = time.perf_counter()
             for b in range(nb):
                 t0 = time.perf_counter()
                 packed, nmask = next(feed)
                 t1 = time.perf_counter()
-                buf, nw = fill(packed, nmask, buf, jnp.asarray(b * Wb, jnp.int32))
+                bufs, nw = fill(
+                    packed, nmask, bufs, jnp.asarray(C + b * Wb, jnp.int32)
+                )
                 n_windows = _acc2_add(n_windows, nw)
+                h2d_bytes += packed.nbytes + (0 if nmask is None else nmask.nbytes)
                 t["encode"] += t1 - t0
                 t["count"] += time.perf_counter() - t1
             t1 = time.perf_counter()
-            grp, over = oneshot(buf)
-            if _FINE_TIMERS:
-                import numpy as _np
-
-                _np.asarray(jax.device_get(grp.limbs[0, 0]))
-                t[f"drain_sort_g{g0 // bpg}"] = time.perf_counter() - t1
+            if _FINE_TIMERS:  # true completion of this group's H2D + extracts
+                np.asarray(jax.device_get(bufs[0][M - 1]))
+                t[f"fill_sync_g{gi}"] = time.perf_counter() - t1
+                t[f"h2d_mb_g{gi}"] = round(h2d_bytes / 2**20, 1)
                 t1 = time.perf_counter()
-            acc = merge_spectra_lean(acc, grp, k=cfg.k)
+            bufs, counts_a, n_dev_, over = drain(bufs, counts_a)
+            if _FINE_TIMERS:
+                np.asarray(jax.device_get(counts_a[0]))
+                t[f"drain_g{gi}"] = time.perf_counter() - t1
+                t1 = time.perf_counter()
             if defer_sync:
                 overs.append(over)
             elif bool(over):  # D2H sync: drains this group's workspace
                 overs.append(jnp.ones((), jnp.bool_))
-            if _FINE_TIMERS:
-                import numpy as _np
-
-                _np.asarray(jax.device_get(acc.limbs[0, 0]))
-                t[f"drain_merge_g{g0 // bpg}"] = time.perf_counter() - t1
-                t1 = time.perf_counter()
             t["count_drain"] += time.perf_counter() - t1
     finally:
         feed.close()
     t1 = time.perf_counter()
+    acc = make_arena_finalize(C)(bufs, counts_a)
+    del bufs
     n_windows = _acc2_final(n_windows)
     over_any = any(bool(o) for o in overs)  # D2H: drains all group sorts
     t["count_drain"] += time.perf_counter() - t1
@@ -530,6 +600,12 @@ def spectrum_to_contigs(
     save_graph_path: str = "",
 ) -> tuple[set, int]:
     """Cutoff (+ tip clipping) + graph + traversal + emission. Returns (contigs, n_cut).
+
+    NOTE: the input spectrum's buffers are DONATED into the cutoff jit in
+    BOTH calling forms — a bare ``Spectrum`` argument is invalidated just
+    like the ``[spectrum]`` ownership-handoff form. Callers must not reuse
+    the spectrum (or its arrays) after this returns; re-count or checkpoint
+    first if it is needed again.
 
     Buffer lifetimes are managed aggressively for 16 GB-chip headroom at
     SPEC config-5 scale (100 Mbp -> ~220M doubled edges): the pre-cutoff

@@ -251,9 +251,11 @@ def interspersed_repeat_genome(
     rng = np.random.default_rng(seed)
     g = _BASES[rng.integers(0, 4, length)]
     elem = _BASES[rng.integers(0, 4, repeat_len)]
+    # clamp to the available non-overlapping slot count so rng.choice cannot
+    # raise when the genome is short relative to n_copies * repeat_len
+    population = max(1, (length - repeat_len) // repeat_len)
     slots = rng.choice(
-        max(1, (length - repeat_len) // repeat_len), size=min(n_copies, 8),
-        replace=False,
+        population, size=min(n_copies, population), replace=False
     ) * repeat_len
     for s in slots:
         g[s : s + repeat_len] = elem
