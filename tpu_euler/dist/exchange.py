@@ -96,7 +96,8 @@ def exchange_push(
 
     Returns (local [el_cap, width] received rows combined per local id,
     n_dropped). combine: "set" (last-writer; callers must ensure at most one
-    writer per id for determinism), "min", or "max".
+    writer per id for determinism), "min", "max", or "add" (uint32 wraparound
+    sums — exact for totals < 2^32).
     """
     M, width = values.shape
     dest = jnp.where(gids >= 0, gids // el_cap, n_dev).astype(jnp.uint32)
@@ -131,6 +132,10 @@ def exchange_push(
         )
     elif combine == "max":
         out = jnp.zeros((el_cap, width), jnp.uint32).at[li].max(
+            recv_val, mode="drop"
+        )
+    elif combine == "add":
+        out = jnp.zeros((el_cap, width), jnp.uint32).at[li].add(
             recv_val, mode="drop"
         )
     else:

@@ -225,13 +225,15 @@ def assemble_reads_distributed(
                 cfg.k, n_dev, c_local, mesh, slab_factor=slab_factor
             )
             sc = chains_step(cl, cc, cn)
-            if cfg.tip_rounds:
+            if cfg.tip_rounds or cfg.bubble_rounds:
                 from tpu_euler.dist.traverse_dist import (
+                    make_dist_bubble_step,
                     make_dist_compact_step,
                     make_dist_tip_step,
                 )
 
                 compact_step = make_dist_compact_step(mesh)
+            if cfg.tip_rounds:
                 tip_len = cfg.tip_len or 2 * cfg.k
                 tip_step = make_dist_tip_step(
                     tip_len, n_dev, c_local, mesh, slab_factor=slab_factor
@@ -243,6 +245,25 @@ def assemble_reads_distributed(
                     if int(fetch_global(tip_drops)[0]):
                         raise _SlabOverflow("tip-step slab overflow")
                     if int(fetch_global(n_tips_a)[0]) == 0:
+                        break
+                    cl, cc, cn = compact_step(cl, cc, cn, keep)
+                    sc = chains_step(cl, cc, cn)
+            if cfg.bubble_rounds:
+                # sharded simple-bubble popping (same ordering as the
+                # replicated pipeline: tips to fixed point, then bubbles)
+                bubble_len = cfg.bubble_len or 2 * cfg.k
+                bubble_step = make_dist_bubble_step(
+                    cfg.k, bubble_len, n_dev, c_local, mesh,
+                    slab_factor=slab_factor,
+                )
+                for _ in range(cfg.bubble_rounds):
+                    keep, n_pop_a, bub_drops = bubble_step(
+                        sc.edge_limbs, sc.valid, sc.chain, sc.pos,
+                        sc.is_start, sc.on_cycle, cc,
+                    )
+                    if int(fetch_global(bub_drops)[0]):
+                        raise _SlabOverflow("bubble-step slab overflow")
+                    if int(fetch_global(n_pop_a)[0]) == 0:
                         break
                     cl, cc, cn = compact_step(cl, cc, cn, keep)
                     sc = chains_step(cl, cc, cn)

@@ -56,6 +56,7 @@ class ShardChains(NamedTuple):
     is_start: jax.Array  # [N] bool
     tail_dead: jax.Array  # [N] bool — edge's tail node has in-degree 0
     head_dead: jax.Array  # [N] bool — edge's head node has out-degree 0
+    on_cycle: jax.Array  # [N] bool — edge lay on a pure cycle before cutting
     dropped: jax.Array  # [n_dev] int32 slab drops (must be 0)
 
 
@@ -315,6 +316,7 @@ def make_dist_chains_step(
             is_start=is_start,
             tail_dead=tail_dead,
             head_dead=head_dead,
+            on_cycle=on_cycle,
             dropped=drops[None],
         )
 
@@ -326,6 +328,7 @@ def make_dist_chains_step(
         is_start=P(AXIS),
         tail_dead=P(AXIS),
         head_dead=P(AXIS),
+        on_cycle=P(AXIS),
         dropped=P(AXIS),
     )
     return jax.jit(
@@ -637,6 +640,217 @@ def make_dist_compact_step(mesh: Mesh):
             local,
             mesh=mesh,
             in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        )
+    )
+
+
+def make_dist_bubble_step(
+    k: int,
+    bubble_len: int,
+    n_dev: int,
+    c_local: int,
+    mesh: Mesh,
+    slab_factor: float = 2.0,
+):
+    """On-device SHARDED simple-bubble identification — O(E/n_dev) per device.
+
+    Semantics identical to euler.clean.pop_bubbles_once / the CPU oracle's
+    find_bubble_kmers (VERDICT r4 item 5): non-cycle unitig chains group by
+    (start node u, end node v); a group with >= 2 chains, all shorter than
+    ``bubble_len`` edges, pops every chain but the (coverage DESC, min
+    canonical k-mer ASC) winner; a tie at the top skips the group. The
+    sharded realisation:
+
+    1. member edges push per-chain aggregates to the chain home (= end edge):
+       coverage sum (``exchange_push`` combine="add") and the start edge's
+       canonical tail (k-1)-mer (single-writer "max" push);
+    2. the chain's minimum canonical k-mer is found EXACTLY (lexicographic
+       over limbs) with L sequential push-min/gather rounds: limb j's
+       candidates are masked to edges whose limbs < j already equal the
+       group minimum;
+    3. chain homes route (u, v, ~cov, minkey, len, gid) records to a
+       hash(u, v) owner through fixed all_to_all slabs (the
+       _node_record_exchange pattern); the owner sorts records by
+       (u, v, ~cov, minkey) and marks every non-first record of qualifying
+       groups popped — group disqualification (a member >= bubble_len, or a
+       top-2 tie) via cumsum-based segment sums, no scatters;
+    4. verdicts reply along the slabs; member edges read their chain's
+       verdict with one exchange_gather (the tip-step pattern).
+
+    The chain home's own ``on_cycle`` flag excludes cut-cycle chains: every
+    edge of a cut cycle is on the cycle, so the home's flag is the chain's.
+
+    Returns jit'd step over (edge_limbs, valid, chain, pos, is_start,
+    on_cycle, counts) -> (keep_rows [n_dev*c_local] bool, n_popped [n_dev],
+    dropped [n_dev]).
+    """
+    el_cap = 2 * c_local
+    L = keys.nlimbs(k)
+    c_req = int(slab_factor * el_cap / n_dev) + 256
+    c_grp = int(slab_factor * el_cap / n_dev) + 256
+    BIGU = jnp.uint32(0xFFFFFFFF)
+
+    def local(edge_limbs, valid, chain, pos, is_start, on_cycle, counts):
+        my = jax.lax.axis_index(AXIS).astype(jnp.int32)
+        eid = jnp.arange(el_cap, dtype=jnp.int32)
+        gid = my * el_cap + eid
+        member = valid & ~on_cycle
+        home = member & (chain == gid)
+        drops = jnp.zeros((), jnp.int32)
+
+        # canonical row key of each edge (rows >= c_local mirror rows < c_local)
+        rk = jnp.concatenate(
+            [edge_limbs[:c_local], edge_limbs[:c_local]], axis=0
+        )
+        cov_e = jnp.concatenate([counts, counts]).astype(jnp.uint32)
+
+        # --- phase 1: cov sum + start-u to home ---
+        covs, d = exchange_push(
+            jnp.where(member, cov_e, 0)[:, None],
+            jnp.where(member, chain, -1),
+            n_dev, el_cap, c_req, combine="add",
+        )
+        drops = drops + d
+        upre = keys.prefix(edge_limbs, k)
+        ucan, _ = keys.canonical(upre, k - 1)
+        u_home, d = exchange_push(
+            jnp.where((is_start & member)[:, None], ucan, 0),
+            jnp.where(is_start & member, chain, -1),
+            n_dev, el_cap, c_req, combine="max",
+        )
+        drops = drops + d
+
+        # --- phase 2: exact lexicographic min canonical k-mer, limb by limb ---
+        pref_ok = member
+        min_cols = []
+        for j in range(L):
+            mj, d = exchange_push(
+                jnp.where(pref_ok, rk[:, j], BIGU)[:, None],
+                jnp.where(member, chain, -1),
+                n_dev, el_cap, c_req, combine="min",
+            )
+            drops = drops + d
+            back, d = exchange_gather(
+                mj, jnp.where(member, chain, -1), n_dev, el_cap, c_req,
+                fill=jnp.full((1,), BIGU, jnp.uint32),
+            )
+            drops = drops + d
+            pref_ok = pref_ok & (rk[:, j] == back[:, 0])
+            min_cols.append(mj[:, 0])
+        minkey = jnp.stack(min_cols, axis=-1)  # [el_cap, L] at homes
+
+        # --- phase 3: route chain records to hash(u, v) group owners ---
+        vsuf = keys.suffix(edge_limbs, k)
+        vcan, _ = keys.canonical(vsuf, k - 1)
+        uv = jnp.concatenate([u_home, vcan], axis=1)  # [el_cap, 2L]
+        owner = (keys.bucket_hash(uv) % jnp.uint32(n_dev)).astype(jnp.uint32)
+        owner = jnp.where(home, owner, n_dev)
+        slot = jnp.arange(el_cap, dtype=jnp.int32)
+        covneg = BIGU - covs[:, 0]  # ascending sort = coverage DESC
+        clen = (pos + 1).astype(jnp.uint32)
+        cols = (
+            [uv[:, j] for j in range(2 * L)]
+            + [covneg]
+            + [minkey[:, j] for j in range(L)]
+            + [clen, gid.astype(jnp.uint32)]
+        )
+        W = len(cols)  # 3L + 3
+        sortout = jax.lax.sort(
+            [owner, slot] + cols, num_keys=1, is_stable=True
+        )
+        so, sslot = sortout[0].astype(jnp.int32), sortout[1]
+        idx = jnp.arange(el_cap, dtype=jnp.int32)
+        seg_start = jnp.full((n_dev + 1,), el_cap, jnp.int32).at[so].min(idx)
+        spos = idx - seg_start[jnp.clip(so, 0, n_dev)]
+        ok = (so < n_dev) & (spos < c_grp)
+        drops = drops + jnp.sum((so < n_dev) & ~ok)
+        slab_pos = jnp.where(ok, so * c_grp + spos, n_dev * c_grp)
+        slab = jnp.full((n_dev * c_grp, W + 1), BIGU, jnp.uint32)
+        svals = jnp.stack(
+            [sortout[2 + i] for i in range(W)]
+            + [jnp.where(sortout[0] < n_dev, jnp.uint32(0), BIGU)],
+            axis=1,
+        )
+        slab = slab.at[slab_pos].set(svals, mode="drop")
+        recv = jax.lax.all_to_all(
+            slab, AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+
+        # --- owner: sort by (u, v, ~cov, minkey), mark non-winners ---
+        Mr = recv.shape[0]
+        r_inv = recv[:, W]  # 0 = real record, BIGU = padding
+        rid = jnp.arange(Mr, dtype=jnp.int32)
+        out2 = jax.lax.sort(
+            [r_inv]
+            + [recv[:, i] for i in range(3 * L + 1)]  # u, v, ~cov, minkey
+            + [rid, recv[:, 3 * L + 1], recv[:, 3 * L + 2]],
+            num_keys=2 + 3 * L,
+            is_stable=True,
+        )
+        t_valid = out2[0] == 0
+        t_u = jnp.stack(out2[1 : 1 + L], axis=-1)
+        t_v = jnp.stack(out2[1 + L : 1 + 2 * L], axis=-1)
+        t_covneg = out2[1 + 2 * L]
+        t_min = jnp.stack(out2[2 + 2 * L : 2 + 3 * L], axis=-1)
+        t_rid = out2[2 + 3 * L]
+        t_len = out2[3 + 3 * L]
+        prev_same = (
+            keys.key_eq(t_u, jnp.roll(t_u, 1, axis=0))
+            & keys.key_eq(t_v, jnp.roll(t_v, 1, axis=0))
+            & t_valid
+        ).at[0].set(False)
+        is_new = (~prev_same) & t_valid
+        seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        # disqualify: any member >= bubble_len (cumsum segment sums, no scatter)
+        big = jnp.where(
+            t_valid & (t_len >= jnp.uint32(bubble_len)), 1, 0
+        ).astype(jnp.int32)
+        seg_big = segment_sums_sorted(is_new, seg, big, Mr)
+        # tie at the top poisons the group
+        second = prev_same & ~jnp.roll(prev_same, 1).at[0].set(False)
+        tie = (
+            second
+            & (t_covneg == jnp.roll(t_covneg, 1))
+            & keys.key_eq(t_min, jnp.roll(t_min, 1, axis=0))
+        )
+        seg_tie = segment_sums_sorted(is_new, seg, tie.astype(jnp.int32), Mr)
+        segc = jnp.clip(seg, 0, Mr - 1)
+        pop_sorted = (
+            t_valid
+            & prev_same
+            & (seg_big[segc] == 0)
+            & (seg_tie[segc] == 0)
+        )
+        reply = jnp.zeros((Mr, 1), jnp.uint32).at[t_rid].set(
+            pop_sorted.astype(jnp.uint32)[:, None], mode="drop"
+        )
+        reply_back = jax.lax.all_to_all(
+            reply, AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
+        got = reply_back[jnp.clip(slab_pos, 0, n_dev * c_grp - 1)][:, 0]
+        got = jnp.where(ok, got, 0)
+        popped_home = jnp.zeros((el_cap,), jnp.uint32).at[sslot].set(got)
+
+        # --- phase 4: members read their chain's verdict ---
+        verdict, d = exchange_gather(
+            popped_home[:, None],
+            jnp.where(member, chain, -1),
+            n_dev, el_cap, c_req,
+            fill=jnp.zeros((1,), jnp.uint32),
+        )
+        drops = drops + d
+        pop_edge = member & (verdict[:, 0] == 1)
+        keep = ~(pop_edge[:c_local] | pop_edge[c_local:])
+        n_popped = jax.lax.psum(jnp.sum(pop_edge.astype(jnp.int32)), AXIS)
+        drops = jax.lax.psum(drops, AXIS)
+        return keep, n_popped[None], drops[None]
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(AXIS),) * 7,
             out_specs=(P(AXIS), P(AXIS), P(AXIS)),
         )
     )
