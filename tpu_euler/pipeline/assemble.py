@@ -629,6 +629,13 @@ def spectrum_to_contigs(
 
         t1 = time.perf_counter()
         acc = apply_cutoff(acc, cfg.min_count)
+        # right-size AGAIN after the cutoff: errored full-scale runs carry
+        # several times more pre-cutoff distinct k-mers than survivors
+        # (12 Mbp at 0.3%/base: ~50M raw vs 12M kept), and clip_tips /
+        # pop_bubbles build a MONOLITHIC graph at the spectrum's CAPACITY —
+        # at the raw capacity that program crashed the TPU worker
+        # (ADVERSARIAL_r05 full-phase attempt 1)
+        acc = right_size_spectrum(acc)
         if cfg.tip_rounds:
             acc, n_clipped = clip_tips(acc, cfg.k, cfg.tip_rounds, cfg.tip_len)
             log.info("tip clipping removed %d k-mers", n_clipped)
