@@ -97,9 +97,17 @@ def main() -> int:
     # Best-of-3 with per-run stage splits: single-trial numbers through the
     # axon TCP relay have swung ~15% between captures (VERDICT r2 weak #1);
     # the run list lets any two captures be reconciled against stated variance.
+    import gc
+
     runs = []
     diags = []
-    for _ in range(3):
+    reps = int(os.environ.get("TPU_EULER_BENCH_REPS", "3"))
+    for _ in range(reps):
+        # drop run-to-run garbage before timing: dead device buffers from the
+        # previous rep otherwise free lazily DURING the next rep's drain (the
+        # r05 diagnosis of the monotonically-growing drain: 3.5 -> 6.2 -> 8.6 s
+        # across reps with a flat relay probe)
+        gc.collect()
         probe = relay_probe()
         c0 = cache_files()
         stamp = time.time()

@@ -217,7 +217,13 @@ def make_oneshot_count(k: int, capacity: int):
     downstream merge runs.
     """
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    # TPU_EULER_NO_DONATE=1: debug knob for the drain-drift experiment
+    # (scripts/debug_drain_drift.py) — drops buffer donation everywhere in
+    # the one-shot path to test whether donated-buffer recycling through the
+    # axon relay is what accumulates across repeated in-process runs.
+    _donate = () if _os.environ.get("TPU_EULER_NO_DONATE") else (0,)
+
+    @functools.partial(jax.jit, donate_argnums=_donate)
     def sort_step(buf: tuple):
         return tuple(jax.lax.sort(list(buf), num_keys=len(buf)))
 
