@@ -200,7 +200,7 @@ def main():
     print(json.dumps(big), flush=True)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "SCALING_r04.json",
+        "SCALING_r05.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=2)

@@ -64,10 +64,10 @@ def main() -> int:
         def wrap(*a, _orig=orig, _name=name, **kw):
             s = time.perf_counter()
             r = _orig(*a, **kw)
-            jax.block_until_ready(jax.tree_util.tree_leaves(r)[0])
-            np.asarray(
-                jax.device_get(jax.tree_util.tree_leaves(r)[0].ravel()[0])
-            )
+            l = jax.tree_util.tree_leaves(r)[0]
+            # index, don't ravel: an eager ravel of a [E, 3] array copies
+            # into the padded T(8,128) layout (108 GB at config-5 shapes)
+            np.asarray(jax.device_get(l[(0,) * l.ndim]))
             walk_t[_name] = walk_t.get(_name, 0.0) + time.perf_counter() - s
             return r
 
